@@ -1,0 +1,659 @@
+"""MJCF-subset compiler: XML string -> :class:`Model` pytree (host-side).
+
+This module replaces the reference's entire native model-loading path —
+autowrap-generated ctypes bindings + ``mj_loadXML`` inside libmujoco.so
+(reference ``dm_control/dm_control/autowrap/*`` and
+``dm_control/dm_control/mujoco/wrapper/core.py:288-353``) — with an
+ahead-of-time Python compiler. The output is a static pytree consumed by the
+jitted step function, so model topology is fixed at trace time (XLA-friendly).
+
+Supported MJCF subset (what the dm_control suite task models need):
+  * compiler: angle (degree default), settotalmass (ignored), eulerseq xyz
+  * option: timestep, gravity, integrator, viscosity, density, wind,
+    flag contact/gravity/limit/actuation (enable/disable)
+  * default classes, nested, with childclass inheritance
+  * worldbody tree: body (pos/quat/euler/zaxis/axisangle/childclass),
+    joint (free/ball/slide/hinge), geom (plane/sphere/capsule/cylinder/
+    box/ellipsoid; fromto; mass or density), site, inertial
+  * tendon/fixed (linear joint couplings)
+  * actuator: motor, position, velocity, general
+
+Unsupported-but-parsed-gracefully: light, camera, asset/material references
+(visual only in the suite models), sensors.
+"""
+
+from __future__ import annotations
+
+import math
+import xml.etree.ElementTree as ET
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from . import model as M
+
+
+# --------------------------------------------------------------------------
+# numpy quaternion helpers (compile-time only)
+# --------------------------------------------------------------------------
+
+def _nquat_mul(u, v):
+    w1, x1, y1, z1 = u
+    w2, x2, y2, z2 = v
+    return np.array([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ])
+
+
+def _nquat_axis_angle(axis, angle):
+    axis = np.asarray(axis, dtype=np.float64)
+    n = np.linalg.norm(axis)
+    if n < 1e-14:
+        return np.array([1.0, 0, 0, 0])
+    axis = axis / n
+    return np.concatenate([[math.cos(angle / 2)], axis * math.sin(angle / 2)])
+
+
+def _nquat_rot(q, v):
+    u, w = q[1:], q[0]
+    uv = np.cross(u, v)
+    return v + 2.0 * np.cross(u, uv + w * v)
+
+
+def _nquat_to_mat(q):
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def _zaxis_quat(z):
+    """Minimal rotation taking (0,0,1) to direction z."""
+    z = np.asarray(z, dtype=np.float64)
+    z = z / np.linalg.norm(z)
+    e = np.array([0.0, 0.0, 1.0])
+    c = float(np.dot(e, z))
+    if c > 1 - 1e-12:
+        return np.array([1.0, 0, 0, 0])
+    if c < -1 + 1e-12:
+        return np.array([0.0, 1.0, 0, 0])  # 180deg about x
+    axis = np.cross(e, z)
+    angle = math.acos(max(-1.0, min(1.0, c)))
+    return _nquat_axis_angle(axis, angle)
+
+
+# --------------------------------------------------------------------------
+# Attribute parsing
+# --------------------------------------------------------------------------
+
+def _floats(s: str) -> np.ndarray:
+    return np.array([float(x) for x in s.split()], dtype=np.float64)
+
+
+_JOINT_TYPES = {'free': M.FREE, 'ball': M.BALL, 'slide': M.SLIDE,
+                'hinge': M.HINGE}
+_GEOM_TYPES = {'plane': M.PLANE, 'sphere': M.SPHERE, 'capsule': M.CAPSULE,
+               'ellipsoid': M.ELLIPSOID, 'cylinder': M.CYLINDER,
+               'box': M.BOX}
+_QPOS_WIDTH = {M.FREE: 7, M.BALL: 4, M.SLIDE: 1, M.HINGE: 1}
+_DOF_WIDTH = {M.FREE: 6, M.BALL: 3, M.SLIDE: 1, M.HINGE: 1}
+
+_DEFAULT_SOLREF = np.array([0.02, 1.0])
+_DEFAULT_SOLIMP = np.array([0.9, 0.95, 0.001, 0.5, 2.0])
+
+
+class _Defaults:
+    """Nested default-class resolution (MJCF <default> tree)."""
+
+    def __init__(self):
+        # class name -> tag -> {attr: value}
+        self.classes: Dict[str, Dict[str, Dict[str, str]]] = {'main': {}}
+        self.parent: Dict[str, Optional[str]] = {'main': None}
+
+    def parse(self, elem: ET.Element, parent: str = 'main'):
+        cls = elem.get('class', parent if elem.tag == 'default' else 'main')
+        if cls not in self.classes:
+            self.classes[cls] = {}
+            self.parent[cls] = parent
+        for child in elem:
+            if child.tag == 'default':
+                self.parse(child, cls)
+            else:
+                tag_defaults = self.classes[cls].setdefault(child.tag, {})
+                tag_defaults.update(child.attrib)
+
+    def resolve(self, tag: str, attrib: Dict[str, str],
+                cls: Optional[str]) -> Dict[str, str]:
+        """Merge defaults (walking up class chain) under explicit attrs."""
+        merged: Dict[str, str] = {}
+        chain: List[str] = []
+        c = cls or 'main'
+        while c is not None:
+            chain.append(c)
+            c = self.parent.get(c)
+        if 'main' not in chain:
+            chain.append('main')
+        for c in reversed(chain):
+            merged.update(self.classes.get(c, {}).get(tag, {}))
+        merged.update(attrib)
+        return merged
+
+
+class _Builder:
+    """Accumulates model arrays while walking the body tree."""
+
+    def __init__(self, angle_in_degrees: bool):
+        self.deg = angle_in_degrees
+        # bodies (world body is index 0)
+        self.body_parent = [0]
+        self.body_pos = [np.zeros(3)]
+        self.body_quat = [np.array([1.0, 0, 0, 0])]
+        self.body_names = {'world': 0}
+        # accumulated per-body mass properties
+        self.body_mass = [0.0]
+        self.body_first_moment = [np.zeros(3)]     # mass * com
+        self.body_inertia_at_origin = [np.zeros((3, 3))]  # about body origin
+        self.body_explicit_inertial = [False]
+        # joints
+        self.jnt = []          # dicts
+        self.jnt_names = {}
+        # geoms / sites
+        self.geoms = []
+        self.geom_names = {}
+        self.sites = []
+        self.site_names = {}
+
+    # -- angles ----------------------------------------------------------
+    def angle(self, a: float) -> float:
+        return math.radians(a) if self.deg else a
+
+    def orientation(self, attrs: Dict[str, str]) -> np.ndarray:
+        if 'quat' in attrs:
+            q = _floats(attrs['quat'])
+            return q / np.linalg.norm(q)
+        if 'euler' in attrs:
+            e = [self.angle(a) for a in _floats(attrs['euler'])]
+            q = np.array([1.0, 0, 0, 0])
+            axes = [np.array([1.0, 0, 0]), np.array([0, 1.0, 0]),
+                    np.array([0, 0, 1.0])]
+            for ax, ang in zip(axes, e):   # intrinsic xyz (MJCF default)
+                q = _nquat_mul(q, _nquat_axis_angle(ax, ang))
+            return q
+        if 'zaxis' in attrs:
+            return _zaxis_quat(_floats(attrs['zaxis']))
+        if 'axisangle' in attrs:
+            aa = _floats(attrs['axisangle'])
+            return _nquat_axis_angle(aa[:3], self.angle(aa[3]))
+        return np.array([1.0, 0, 0, 0])
+
+
+def _geom_volume(gtype: int, size: np.ndarray) -> float:
+    r = size[0]
+    if gtype == M.SPHERE:
+        return 4.0 / 3.0 * math.pi * r ** 3
+    if gtype == M.CAPSULE:
+        return math.pi * r * r * (2 * size[1]) + 4.0 / 3.0 * math.pi * r ** 3
+    if gtype == M.CYLINDER:
+        return math.pi * r * r * 2 * size[1]
+    if gtype == M.BOX:
+        return 8.0 * size[0] * size[1] * size[2]
+    if gtype == M.ELLIPSOID:
+        return 4.0 / 3.0 * math.pi * size[0] * size[1] * size[2]
+    return 0.0  # plane: massless
+
+
+def _geom_inertia(gtype: int, size: np.ndarray, mass: float) -> np.ndarray:
+    """Diagonal inertia about geom CoM in the geom frame (z = symmetry axis).
+
+    Formulas match MuJoCo's compile-time inertia computation so that bodies
+    assembled from primitive geoms have identical mass matrices.
+    """
+    r = size[0]
+    if gtype == M.SPHERE:
+        i = 0.4 * mass * r * r
+        return np.diag([i, i, i])
+    if gtype == M.CAPSULE:
+        h = size[1]
+        height = 2 * h
+        sphere_mass = mass * 4 * r / (4 * r + 3 * height)
+        cyl_mass = mass - sphere_mass
+        ixy = cyl_mass * (3 * r * r + height * height) / 12.0
+        iz = cyl_mass * r * r / 2.0
+        sph_i = 0.4 * sphere_mass * r * r
+        ixy += sph_i + sphere_mass * height * (3 * r + 2 * height) / 8.0
+        iz += sph_i
+        return np.diag([ixy, ixy, iz])
+    if gtype == M.CYLINDER:
+        h2 = (2 * size[1]) ** 2
+        ixy = mass * (3 * r * r + h2) / 12.0
+        iz = mass * r * r / 2.0
+        return np.diag([ixy, ixy, iz])
+    if gtype == M.BOX:
+        a2, b2, c2 = (2 * size) ** 2
+        return np.diag([mass * (b2 + c2) / 12.0, mass * (a2 + c2) / 12.0,
+                        mass * (a2 + b2) / 12.0])
+    if gtype == M.ELLIPSOID:
+        a2, b2, c2 = size ** 2
+        return np.diag([mass * (b2 + c2) / 5.0, mass * (a2 + c2) / 5.0,
+                        mass * (a2 + b2) / 5.0])
+    return np.zeros((3, 3))
+
+
+def parse(xml_string: str, dtype=np.float32) -> M.Model:
+    """Compile an MJCF XML string into a :class:`Model` pytree."""
+    root = ET.fromstring(xml_string)
+    assert root.tag == 'mujoco'
+
+    compiler = root.find('compiler')
+    angle_deg = True
+    if compiler is not None and compiler.get('angle') == 'radian':
+        angle_deg = False
+
+    # ---- option ----------------------------------------------------------
+    timestep = 0.002
+    gravity = np.array([0.0, 0.0, -9.81])
+    integrator = M.EULER
+    viscosity = 0.0
+    density = 0.0
+    wind = np.zeros(3)
+    disableflags = 0
+    opt_el = root.find('option')
+    if opt_el is not None:
+        timestep = float(opt_el.get('timestep', timestep))
+        if 'gravity' in opt_el.attrib:
+            gravity = _floats(opt_el.get('gravity'))
+        if opt_el.get('integrator', 'Euler') == 'RK4':
+            integrator = M.RK4
+        viscosity = float(opt_el.get('viscosity', 0.0))
+        density = float(opt_el.get('density', 0.0))
+        if 'wind' in opt_el.attrib:
+            wind = _floats(opt_el.get('wind'))
+        flag = opt_el.find('flag')
+        if flag is not None:
+            if flag.get('contact') == 'disable':
+                disableflags |= M.DSBL_CONTACT
+            if flag.get('gravity') == 'disable':
+                disableflags |= M.DSBL_GRAVITY
+            if flag.get('limit') == 'disable':
+                disableflags |= M.DSBL_LIMIT
+            if flag.get('actuation') == 'disable':
+                disableflags |= M.DSBL_ACTUATION
+
+    # ---- defaults --------------------------------------------------------
+    defaults = _Defaults()
+    for d in root.findall('default'):
+        defaults.parse(d)
+
+    b = _Builder(angle_deg)
+
+    # ---- body tree -------------------------------------------------------
+    def add_geom(attrs: Dict[str, str], body_id: int):
+        gtype = _GEOM_TYPES[attrs.get('type', 'sphere')]
+        size_in = _floats(attrs['size']) if 'size' in attrs else np.zeros(1)
+        size = np.zeros(3)
+        size[:len(size_in)] = size_in
+        quat = b.orientation(attrs)
+        pos = _floats(attrs['pos']) if 'pos' in attrs else np.zeros(3)
+        if 'fromto' in attrs:
+            ft = _floats(attrs['fromto'])
+            p0, p1 = ft[:3], ft[3:]
+            pos = 0.5 * (p0 + p1)
+            quat = _zaxis_quat(p1 - p0)
+            size[1] = 0.5 * np.linalg.norm(p1 - p0)
+
+        vol = _geom_volume(gtype, size)
+        if 'mass' in attrs:
+            mass = float(attrs['mass'])
+        else:
+            geom_density = float(attrs.get('density', 1000.0))
+            mass = geom_density * vol
+
+        friction = np.array([1.0, 0.005, 0.0001])
+        if 'friction' in attrs:
+            f = _floats(attrs['friction'])
+            friction[:len(f)] = f
+        solref = _DEFAULT_SOLREF.copy()
+        if 'solref' in attrs:
+            solref[:] = _floats(attrs['solref'])[:2]
+        solimp = _DEFAULT_SOLIMP.copy()
+        if 'solimp' in attrs:
+            si = _floats(attrs['solimp'])
+            solimp[:len(si)] = si
+
+        name = attrs.get('name')
+        if name:
+            b.geom_names[name] = len(b.geoms)
+        b.geoms.append(dict(
+            type=gtype, body=body_id, pos=pos, quat=quat, size=size,
+            friction=friction, solref=solref, solimp=solimp,
+            margin=float(attrs.get('margin', 0.0)),
+            contype=int(attrs.get('contype', 1)),
+            conaffinity=int(attrs.get('conaffinity', 1)),
+            condim=int(attrs.get('condim', 3)),
+            priority=int(attrs.get('priority', 0)),
+            solmix=float(attrs.get('solmix', 1.0)),
+        ))
+
+        # accumulate mass properties into the owning body
+        if mass > 0.0:
+            R = _nquat_to_mat(quat)
+            inertia_com = R @ _geom_inertia(gtype, size, mass) @ R.T
+            cx = np.array([[0, -pos[2], pos[1]],
+                           [pos[2], 0, -pos[0]],
+                           [-pos[1], pos[0], 0]])
+            b.body_mass[body_id] += mass
+            b.body_first_moment[body_id] = (
+                b.body_first_moment[body_id] + mass * pos)
+            b.body_inertia_at_origin[body_id] = (
+                b.body_inertia_at_origin[body_id]
+                + inertia_com + mass * (cx @ cx.T))
+
+    def add_site(attrs: Dict[str, str], body_id: int):
+        name = attrs.get('name')
+        if name:
+            b.site_names[name] = len(b.sites)
+        b.sites.append(dict(
+            body=body_id,
+            pos=_floats(attrs['pos']) if 'pos' in attrs else np.zeros(3),
+            quat=b.orientation(attrs)))
+
+    def add_joint(attrs: Dict[str, str], body_id: int):
+        jtype = _JOINT_TYPES[attrs.get('type', 'hinge')]
+        rng = np.zeros(2)
+        limited = attrs.get('limited', 'false') in ('true', '1')
+        if 'range' in attrs:
+            rng = _floats(attrs['range'])
+            if jtype in (M.HINGE, M.BALL):
+                rng = np.array([b.angle(rng[0]), b.angle(rng[1])])
+        solref = _DEFAULT_SOLREF.copy()
+        if 'solreflimit' in attrs:
+            solref[:] = _floats(attrs['solreflimit'])[:2]
+        solimp = _DEFAULT_SOLIMP.copy()
+        if 'solimplimit' in attrs:
+            si = _floats(attrs['solimplimit'])
+            solimp[:len(si)] = si
+        name = attrs.get('name')
+        if name:
+            b.jnt_names[name] = len(b.jnt)
+        b.jnt.append(dict(
+            type=jtype, body=body_id,
+            pos=_floats(attrs['pos']) if 'pos' in attrs else np.zeros(3),
+            axis=(_floats(attrs['axis']) if 'axis' in attrs
+                  else np.array([0.0, 0.0, 1.0])),
+            range=rng, limited=limited, solref=solref, solimp=solimp,
+            stiffness=float(attrs.get('stiffness', 0.0)),
+            springref=b.angle(float(attrs.get('springref', 0.0)))
+            if jtype in (M.HINGE, M.BALL)
+            else float(attrs.get('springref', 0.0)),
+            ref=b.angle(float(attrs.get('ref', 0.0)))
+            if jtype == M.HINGE else float(attrs.get('ref', 0.0)),
+            damping=float(attrs.get('damping', 0.0)),
+            armature=float(attrs.get('armature', 0.0)),
+            margin=float(attrs.get('margin', 0.0)),
+        ))
+
+    def walk_body(elem: ET.Element, parent_id: int, childclass: Optional[str]):
+        cls = elem.get('childclass', childclass)
+        attrs = elem.attrib
+        body_id = len(b.body_parent)
+        b.body_parent.append(parent_id)
+        b.body_pos.append(_floats(attrs['pos']) if 'pos' in attrs
+                          else np.zeros(3))
+        b.body_quat.append(b.orientation(attrs))
+        name = attrs.get('name', f'body{body_id}')
+        b.body_names[name] = body_id
+        b.body_mass.append(0.0)
+        b.body_first_moment.append(np.zeros(3))
+        b.body_inertia_at_origin.append(np.zeros((3, 3)))
+        b.body_explicit_inertial.append(False)
+
+        for child in elem:
+            tag = child.tag
+            cattrs = defaults.resolve(tag, child.attrib,
+                                      child.attrib.get('class', cls))
+            if tag == 'joint':
+                add_joint(cattrs, body_id)
+            elif tag == 'geom':
+                add_geom(cattrs, body_id)
+            elif tag == 'site':
+                add_site(cattrs, body_id)
+            elif tag == 'inertial':
+                mass = float(cattrs['mass'])
+                ipos = _floats(cattrs.get('pos', '0 0 0'))
+                if 'diaginertia' in cattrs:
+                    inert = np.diag(_floats(cattrs['diaginertia']))
+                else:
+                    f = _floats(cattrs.get(
+                        'fullinertia', '1 1 1 0 0 0'))
+                    inert = np.array([[f[0], f[3], f[4]],
+                                      [f[3], f[1], f[5]],
+                                      [f[4], f[5], f[2]]])
+                iq = b.orientation(cattrs)
+                R = _nquat_to_mat(iq)
+                inert = R @ inert @ R.T
+                cx = np.array([[0, -ipos[2], ipos[1]],
+                               [ipos[2], 0, -ipos[0]],
+                               [-ipos[1], ipos[0], 0]])
+                b.body_mass[body_id] = mass
+                b.body_first_moment[body_id] = mass * ipos
+                b.body_inertia_at_origin[body_id] = (
+                    inert + mass * (cx @ cx.T))
+                b.body_explicit_inertial[body_id] = True
+            elif tag == 'body':
+                walk_body(child, body_id, cls)
+            # camera/light/etc.: visual-only, skipped.
+
+    worldbody = root.find('worldbody')
+    if worldbody is not None:
+        for child in worldbody:
+            tag = child.tag
+            cattrs = defaults.resolve(tag, child.attrib,
+                                      child.attrib.get('class'))
+            if tag == 'body':
+                walk_body(child, 0, child.get('childclass'))
+            elif tag == 'geom':
+                add_geom(cattrs, 0)
+            elif tag == 'site':
+                add_site(cattrs, 0)
+
+    nbody = len(b.body_parent)
+    njnt = len(b.jnt)
+
+    # ---- joint addressing --------------------------------------------------
+    jnt_qposadr, jnt_dofadr = [], []
+    nq = nv = 0
+    for j in b.jnt:
+        jnt_qposadr.append(nq)
+        jnt_dofadr.append(nv)
+        nq += _QPOS_WIDTH[j['type']]
+        nv += _DOF_WIDTH[j['type']]
+    dof_jnt, dof_damping, dof_armature = [], [], []
+    for ji, j in enumerate(b.jnt):
+        for _ in range(_DOF_WIDTH[j['type']]):
+            dof_jnt.append(ji)
+            dof_damping.append(j['damping'])
+            dof_armature.append(j['armature'])
+
+    # ---- qpos0 / qpos_spring -----------------------------------------------
+    qpos0 = np.zeros(nq)
+    qpos_spring = np.zeros(nq)
+    for ji, j in enumerate(b.jnt):
+        adr = jnt_qposadr[ji]
+        if j['type'] == M.FREE:
+            qpos0[adr:adr + 3] = b.body_pos[j['body']]
+            qpos0[adr + 3:adr + 7] = b.body_quat[j['body']]
+            qpos_spring[adr:adr + 7] = qpos0[adr:adr + 7]
+        elif j['type'] == M.BALL:
+            qpos0[adr] = 1.0
+            qpos_spring[adr] = 1.0
+        else:
+            qpos0[adr] = j['ref']
+            qpos_spring[adr] = j['springref']
+
+    # ---- body mass properties -> (mass, ipos, inertia about CoM) -----------
+    body_mass = np.array(b.body_mass)
+    body_ipos = np.zeros((nbody, 3))
+    body_inertia = np.zeros((nbody, 3, 3))
+    for i in range(nbody):
+        m_ = b.body_mass[i]
+        if m_ > 0:
+            com = b.body_first_moment[i] / m_
+            body_ipos[i] = com
+            cx = np.array([[0, -com[2], com[1]],
+                           [com[2], 0, -com[0]],
+                           [-com[1], com[0], 0]])
+            # parallel axis: inertia about CoM from inertia about origin
+            body_inertia[i] = (b.body_inertia_at_origin[i]
+                               - m_ * (cx @ cx.T))
+
+    # ---- tendons (fixed) ----------------------------------------------------
+    tendon_names: Dict[str, int] = {}
+    tendon_rows: List[np.ndarray] = []
+    tendon_el = root.find('tendon')
+    if tendon_el is not None:
+        for fx in tendon_el.findall('fixed'):
+            row = np.zeros(nv)
+            for jref in fx.findall('joint'):
+                ji = b.jnt_names[jref.get('joint')]
+                row[jnt_dofadr[ji]] = float(jref.get('coef'))
+            name = fx.get('name')
+            if name:
+                tendon_names[name] = len(tendon_rows)
+            tendon_rows.append(row)
+    ntendon = len(tendon_rows)
+    tendon_moment = (np.stack(tendon_rows) if ntendon
+                     else np.zeros((0, nv)))
+
+    # ---- actuators -----------------------------------------------------------
+    act_names: Dict[str, int] = {}
+    acts = []
+    actuator_el = root.find('actuator')
+    if actuator_el is not None:
+        for ael in actuator_el:
+            tag = ael.tag
+            attrs = defaults.resolve(tag, ael.attrib,
+                                     ael.attrib.get('class'))
+            if tag not in ('motor', 'position', 'velocity', 'general'):
+                continue
+            gear_in = _floats(attrs.get('gear', '1'))
+            gear = float(gear_in[0])
+            ctrllimited = attrs.get('ctrllimited', 'false') in ('true', '1')
+            ctrlrange = (_floats(attrs['ctrlrange']) if 'ctrlrange' in attrs
+                         else np.zeros(2))
+            forcelimited = attrs.get('forcelimited', 'false') in ('true', '1')
+            forcerange = (_floats(attrs['forcerange'])
+                          if 'forcerange' in attrs else np.zeros(2))
+            if 'joint' in attrs:
+                trntype, trnid = M.TRN_JOINT, b.jnt_names[attrs['joint']]
+            elif 'tendon' in attrs:
+                trntype, trnid = M.TRN_TENDON, tendon_names[attrs['tendon']]
+            else:
+                raise ValueError(f'actuator {attrs} needs joint or tendon')
+            gainprm = np.array([1.0, 0.0, 0.0])
+            biasprm = np.zeros(3)
+            biastype = M.BIAS_NONE
+            if tag == 'position':
+                kp = float(attrs.get('kp', 1.0))
+                gainprm[0] = kp
+                biasprm = np.array([0.0, -kp, 0.0])
+                biastype = M.BIAS_AFFINE
+            elif tag == 'velocity':
+                kv = float(attrs.get('kv', 1.0))
+                gainprm[0] = kv
+                biasprm = np.array([0.0, 0.0, -kv])
+                biastype = M.BIAS_AFFINE
+            elif tag == 'general':
+                if 'gainprm' in attrs:
+                    gp = _floats(attrs['gainprm'])
+                    gainprm[:len(gp[:3])] = gp[:3]
+                if 'biasprm' in attrs:
+                    bp = _floats(attrs['biasprm'])
+                    biasprm[:len(bp[:3])] = bp[:3]
+                    biastype = M.BIAS_AFFINE
+            name = attrs.get('name')
+            if name:
+                act_names[name] = len(acts)
+            acts.append(dict(trntype=trntype, trnid=trnid, gear=gear,
+                             ctrllimited=ctrllimited, ctrlrange=ctrlrange,
+                             forcelimited=forcelimited, forcerange=forcerange,
+                             gainprm=gainprm, biasprm=biasprm,
+                             biastype=biastype))
+    nu = len(acts)
+
+    def arr(x, shape=None):
+        a = np.asarray(x, dtype=dtype)
+        if shape is not None and a.size == 0:
+            a = a.reshape(shape)
+        return a
+
+    names = {'body': b.body_names, 'joint': b.jnt_names,
+             'geom': b.geom_names, 'site': b.site_names,
+             'actuator': act_names, 'tendon': tendon_names}
+
+    return M.Model(
+        opt=M.Option(
+            timestep=arr(timestep), gravity=arr(gravity),
+            viscosity=arr(viscosity), density=arr(density), wind=arr(wind),
+            integrator=integrator, disableflags=disableflags),
+        nq=nq, nv=nv, nu=nu, nbody=nbody, njnt=njnt,
+        ngeom=len(b.geoms), nsite=len(b.sites), ntendon=ntendon,
+        body_parent=tuple(b.body_parent),
+        jnt_type=tuple(j['type'] for j in b.jnt),
+        jnt_body=tuple(j['body'] for j in b.jnt),
+        jnt_qposadr=tuple(jnt_qposadr),
+        jnt_dofadr=tuple(jnt_dofadr),
+        jnt_limited=tuple(bool(j['limited']) for j in b.jnt),
+        dof_jnt=tuple(dof_jnt),
+        geom_type=tuple(g['type'] for g in b.geoms),
+        geom_body=tuple(g['body'] for g in b.geoms),
+        site_body=tuple(s['body'] for s in b.sites),
+        actuator_trntype=tuple(a['trntype'] for a in acts),
+        actuator_trnid=tuple(a['trnid'] for a in acts),
+        actuator_ctrllimited=tuple(a['ctrllimited'] for a in acts),
+        names=names,
+        body_pos=arr(b.body_pos, (nbody, 3)),
+        body_quat=arr(b.body_quat, (nbody, 4)),
+        body_mass=arr(body_mass),
+        body_ipos=arr(body_ipos),
+        body_inertia=arr(body_inertia),
+        jnt_pos=arr([j['pos'] for j in b.jnt], (njnt, 3)),
+        jnt_axis=arr([j['axis'] / np.linalg.norm(j['axis'])
+                      for j in b.jnt], (njnt, 3)),
+        jnt_range=arr([j['range'] for j in b.jnt], (njnt, 2)),
+        jnt_solref=arr([j['solref'] for j in b.jnt], (njnt, 2)),
+        jnt_solimp=arr([j['solimp'] for j in b.jnt], (njnt, 5)),
+        jnt_stiffness=arr([j['stiffness'] for j in b.jnt], (njnt,)),
+        jnt_margin=arr([j['margin'] for j in b.jnt], (njnt,)),
+        dof_damping=arr(dof_damping, (nv,)),
+        dof_armature=arr(dof_armature, (nv,)),
+        geom_pos=arr([g['pos'] for g in b.geoms], (len(b.geoms), 3)),
+        geom_quat=arr([g['quat'] for g in b.geoms], (len(b.geoms), 4)),
+        geom_size=arr([g['size'] for g in b.geoms], (len(b.geoms), 3)),
+        geom_friction=arr([g['friction'] for g in b.geoms],
+                          (len(b.geoms), 3)),
+        geom_solref=arr([g['solref'] for g in b.geoms], (len(b.geoms), 2)),
+        geom_solimp=arr([g['solimp'] for g in b.geoms], (len(b.geoms), 5)),
+        geom_margin=arr([g['margin'] for g in b.geoms], (len(b.geoms),)),
+        geom_contype=tuple(g['contype'] for g in b.geoms),
+        geom_conaffinity=tuple(g['conaffinity'] for g in b.geoms),
+        geom_condim=tuple(g['condim'] for g in b.geoms),
+        geom_priority=tuple(g['priority'] for g in b.geoms),
+        geom_solmix=arr([g['solmix'] for g in b.geoms], (len(b.geoms),)),
+        site_pos=arr([s['pos'] for s in b.sites], (len(b.sites), 3)),
+        site_quat=arr([s['quat'] for s in b.sites], (len(b.sites), 4)),
+        tendon_moment=arr(tendon_moment, (ntendon, nv)),
+        actuator_gear=arr([a['gear'] for a in acts], (nu,)),
+        actuator_ctrlrange=arr([a['ctrlrange'] for a in acts], (nu, 2)),
+        actuator_gainprm=arr([a['gainprm'] for a in acts], (nu, 3)),
+        actuator_biasprm=arr([a['biasprm'] for a in acts], (nu, 3)),
+        actuator_forcerange=arr([a['forcerange'] for a in acts], (nu, 2)),
+        actuator_forcelimited=tuple(a['forcelimited'] for a in acts),
+        actuator_biastype=tuple(a['biastype'] for a in acts),
+        qpos0=arr(qpos0),
+        qpos_spring=arr(qpos_spring),
+    )

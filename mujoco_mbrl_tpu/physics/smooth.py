@@ -1,0 +1,366 @@
+"""Smooth (unconstrained) articulated-body dynamics in world-frame spatial algebra.
+
+Replaces the smooth-dynamics half of libmujoco.so's ``mj_step`` pipeline
+(reached by the reference through ctypes at
+``dm_control/dm_control/mujoco/engine.py:133-150``):
+
+  kinematics -> composite-rigid-body mass matrix -> recursive-Newton-Euler
+  bias forces -> passive spring/damper -> actuation.
+
+Design notes (TPU-first):
+  * The kinematic tree is static per compiled model, so every loop below is a
+    Python loop over at most ~15 bodies that unrolls at trace time into a
+    fixed XLA graph of small fused ops. Batching over thousands of envs is
+    done with `vmap` one level up, which turns each small op into a wide
+    (batch, ...) op that tiles cleanly onto the VPU/MXU.
+  * All spatial quantities (motion/force 6-vectors, spatial inertias) are
+    expressed in the world frame about the world origin — no per-body frame
+    transforms inside the inner loops, fewer transposes for XLA to fuse.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+from . import math as pm
+from . import model as M
+
+
+class TreeMeta(NamedTuple):
+    """Static tree addressing derived from the model (trace-time only)."""
+    body_joints: Tuple[Tuple[int, ...], ...]   # joints per body, in order
+    body_dofs: Tuple[Tuple[int, ...], ...]     # dofs per body, in order
+    ancestor_dofs: Tuple[Tuple[int, ...], ...]  # dofs on root->body chain
+    body_order: Tuple[int, ...]                # topological (== index order)
+
+
+def tree_meta(m: M.Model) -> TreeMeta:
+    body_joints: List[List[int]] = [[] for _ in range(m.nbody)]
+    for j in range(m.njnt):
+        body_joints[m.jnt_body[j]].append(j)
+    body_dofs: List[List[int]] = [[] for _ in range(m.nbody)]
+    for b in range(m.nbody):
+        for j in body_joints[b]:
+            adr = m.jnt_dofadr[j]
+            for k in range(_dof_width(m.jnt_type[j])):
+                body_dofs[b].append(adr + k)
+    ancestor_dofs: List[List[int]] = [[] for _ in range(m.nbody)]
+    for b in range(1, m.nbody):
+        ancestor_dofs[b] = list(ancestor_dofs[m.body_parent[b]]) + body_dofs[b]
+    return TreeMeta(
+        body_joints=tuple(tuple(x) for x in body_joints),
+        body_dofs=tuple(tuple(x) for x in body_dofs),
+        ancestor_dofs=tuple(tuple(x) for x in ancestor_dofs),
+        body_order=tuple(range(m.nbody)),
+    )
+
+
+def _dof_width(jtype: int) -> int:
+    return {M.FREE: 6, M.BALL: 3, M.SLIDE: 1, M.HINGE: 1}[jtype]
+
+
+def _qpos_width(jtype: int) -> int:
+    return {M.FREE: 7, M.BALL: 4, M.SLIDE: 1, M.HINGE: 1}[jtype]
+
+
+# --------------------------------------------------------------------------
+# Forward kinematics
+# --------------------------------------------------------------------------
+
+def kinematics(m: M.Model, qpos: jnp.ndarray, meta: TreeMeta):
+    """Body/geom/site poses and world joint anchors/axes.
+
+    Follows libmujoco's mj_kinematics semantics: joints are applied in
+    declaration order within a body, displacing relative to the reference
+    configuration qpos0.
+    """
+    dtype = qpos.dtype
+    xpos = [jnp.zeros(3, dtype)]
+    xquat = [jnp.array([1.0, 0, 0, 0], dtype)]
+    xanchor = [None] * m.njnt
+    xaxis = [None] * m.njnt
+
+    for b in range(1, m.nbody):
+        p = m.body_parent[b]
+        joints = meta.body_joints[b]
+        if joints and m.jnt_type[joints[0]] == M.FREE:
+            j = joints[0]
+            adr = m.jnt_qposadr[j]
+            pos = qpos[adr:adr + 3]
+            quat = pm.quat_normalize(qpos[adr + 3:adr + 7])
+            xanchor[j] = pos
+            xaxis[j] = pm.quat_rot(quat, m.jnt_axis[j])
+            xpos.append(pos)
+            xquat.append(quat)
+            continue
+
+        quat = pm.quat_mul(xquat[p], m.body_quat[b])
+        pos = xpos[p] + pm.quat_rot(xquat[p], m.body_pos[b])
+        for j in joints:
+            adr = m.jnt_qposadr[j]
+            jtype = m.jnt_type[j]
+            anchor = pos + pm.quat_rot(quat, m.jnt_pos[j])
+            axis_w = pm.quat_rot(quat, m.jnt_axis[j])
+            if jtype == M.SLIDE:
+                pos = pos + axis_w * (qpos[adr] - m.qpos0[adr])
+                anchor = pos + pm.quat_rot(quat, m.jnt_pos[j])
+            elif jtype == M.HINGE:
+                qloc = pm.axis_angle_quat(m.jnt_axis[j],
+                                          qpos[adr] - m.qpos0[adr])
+                quat = pm.quat_mul(quat, qloc)
+                pos = anchor - pm.quat_rot(quat, m.jnt_pos[j])
+            elif jtype == M.BALL:
+                qloc = pm.quat_normalize(qpos[adr:adr + 4])
+                quat = pm.quat_mul(quat, qloc)
+                pos = anchor - pm.quat_rot(quat, m.jnt_pos[j])
+            xanchor[j] = anchor
+            xaxis[j] = pm.quat_rot(quat, m.jnt_axis[j])
+        xpos.append(pos)
+        xquat.append(quat)
+
+    xpos = jnp.stack(xpos)
+    xquat = jnp.stack(xquat)
+    xmat = jnp.stack([pm.quat_to_mat(xquat[b]) for b in range(m.nbody)])
+
+    # geoms / sites
+    if m.ngeom:
+        geom_xpos = jnp.stack([
+            xpos[m.geom_body[g]]
+            + pm.quat_rot(xquat[m.geom_body[g]], m.geom_pos[g])
+            for g in range(m.ngeom)])
+        geom_xmat = jnp.stack([
+            pm.quat_to_mat(pm.quat_mul(xquat[m.geom_body[g]], m.geom_quat[g]))
+            for g in range(m.ngeom)])
+    else:
+        geom_xpos = jnp.zeros((0, 3), dtype)
+        geom_xmat = jnp.zeros((0, 3, 3), dtype)
+    if m.nsite:
+        site_xpos = jnp.stack([
+            xpos[m.site_body[s]]
+            + pm.quat_rot(xquat[m.site_body[s]], m.site_pos[s])
+            for s in range(m.nsite)])
+    else:
+        site_xpos = jnp.zeros((0, 3), dtype)
+
+    xanchor = (jnp.stack(xanchor) if m.njnt
+               else jnp.zeros((0, 3), dtype))
+    xaxis = (jnp.stack(xaxis) if m.njnt
+             else jnp.zeros((0, 3), dtype))
+    return xpos, xquat, xmat, geom_xpos, geom_xmat, site_xpos, xanchor, xaxis
+
+
+def com_positions(m: M.Model, xpos, xquat):
+    """World CoM of each body (xipos)."""
+    return jnp.stack([
+        xpos[b] + pm.quat_rot(xquat[b], m.body_ipos[b])
+        for b in range(m.nbody)])
+
+
+def motion_subspace(m: M.Model, xquat, xanchor, xaxis, meta: TreeMeta):
+    """cdof: per-dof spatial motion vectors (world frame, about origin)."""
+    dtype = xquat.dtype
+    cdof = [None] * m.nv
+    for j in range(m.njnt):
+        jtype = m.jnt_type[j]
+        adr = m.jnt_dofadr[j]
+        if jtype == M.FREE:
+            zero = jnp.zeros(3, dtype)
+            eye = jnp.eye(3, dtype=dtype)
+            for k in range(3):  # translations along world axes
+                cdof[adr + k] = jnp.concatenate([zero, eye[k]])
+            R = pm.quat_to_mat(xquat[m.jnt_body[j]])
+            anchor = xanchor[j]
+            for k in range(3):  # rotations about body-local axes
+                ax = R[:, k]
+                cdof[adr + 3 + k] = jnp.concatenate(
+                    [ax, jnp.cross(anchor, ax)])
+        elif jtype == M.BALL:
+            R = pm.quat_to_mat(xquat[m.jnt_body[j]])
+            anchor = xanchor[j]
+            for k in range(3):
+                ax = R[:, k]
+                cdof[adr + k] = jnp.concatenate([ax, jnp.cross(anchor, ax)])
+        elif jtype == M.SLIDE:
+            cdof[adr] = jnp.concatenate([jnp.zeros(3, dtype), xaxis[j]])
+        elif jtype == M.HINGE:
+            ax = xaxis[j]
+            cdof[adr] = jnp.concatenate([ax, jnp.cross(xanchor[j], ax)])
+    return (jnp.stack(cdof) if m.nv else jnp.zeros((0, 6), dtype))
+
+
+def body_spatial_inertia(m: M.Model, xquat, xipos):
+    """Per-body 6x6 spatial inertia about the world origin (cinert)."""
+    out = []
+    for b in range(m.nbody):
+        R = pm.quat_to_mat(xquat[b])
+        I_world = R @ m.body_inertia[b] @ R.T
+        out.append(pm.spatial_inertia(m.body_mass[b], I_world, xipos[b]))
+    return jnp.stack(out)
+
+
+# --------------------------------------------------------------------------
+# CRBA mass matrix
+# --------------------------------------------------------------------------
+
+def crba(m: M.Model, cdof, cinert, meta: TreeMeta) -> jnp.ndarray:
+    """Joint-space inertia matrix via Composite Rigid Body Algorithm."""
+    dtype = cdof.dtype
+    crb = [cinert[b] for b in range(m.nbody)]
+    for b in range(m.nbody - 1, 0, -1):
+        p = m.body_parent[b]
+        crb[p] = crb[p] + crb[b]
+
+    rows = []
+    Mmat = jnp.zeros((m.nv, m.nv), dtype)
+    for b in range(1, m.nbody):
+        own = meta.body_dofs[b]
+        chain = meta.ancestor_dofs[b]
+        for i in own:
+            F = crb[b] @ cdof[i]
+            for j in chain:
+                if j > i:
+                    continue
+                val = cdof[j] @ F
+                Mmat = Mmat.at[i, j].set(val)
+                if i != j:
+                    Mmat = Mmat.at[j, i].set(val)
+    if m.nv:
+        Mmat = Mmat + jnp.diag(m.dof_armature)
+    return Mmat
+
+
+# --------------------------------------------------------------------------
+# Velocities + RNEA bias forces
+# --------------------------------------------------------------------------
+
+def velocities(m: M.Model, qvel, cdof, meta: TreeMeta):
+    """Body spatial velocities cvel and per-dof cdof_dot (world frame)."""
+    dtype = qvel.dtype
+    cvel = [jnp.zeros(6, dtype)]
+    cdof_dot = [None] * m.nv
+    for b in range(1, m.nbody):
+        v = cvel[m.body_parent[b]]
+        for k in meta.body_dofs[b]:
+            cdof_dot[k] = pm.motion_cross(v, cdof[k])
+            v = v + cdof[k] * qvel[k]
+        cvel.append(v)
+    cvel = jnp.stack(cvel)
+    cdof_dot = (jnp.stack(cdof_dot) if m.nv
+                else jnp.zeros((0, 6), dtype))
+    return cvel, cdof_dot
+
+
+def rnea_bias(m: M.Model, qvel, cdof, cdof_dot, cvel, cinert,
+              meta: TreeMeta, gravity_on: bool) -> jnp.ndarray:
+    """qfrc_bias: Coriolis/centrifugal + gravity via recursive Newton-Euler."""
+    dtype = qvel.dtype
+    g = m.opt.gravity if gravity_on else jnp.zeros(3, dtype)
+    a0 = jnp.concatenate([jnp.zeros(3, dtype), -g])  # gravity trick
+
+    a_bias = [a0]
+    for b in range(1, m.nbody):
+        a = a_bias[m.body_parent[b]]
+        for k in meta.body_dofs[b]:
+            a = a + cdof_dot[k] * qvel[k]
+        a_bias.append(a)
+
+    f = [None] * m.nbody
+    for b in range(m.nbody):
+        Iv = cinert[b] @ cvel[b]
+        f[b] = cinert[b] @ a_bias[b] + pm.force_cross(cvel[b], Iv)
+    # accumulate up the tree
+    for b in range(m.nbody - 1, 0, -1):
+        p = m.body_parent[b]
+        f[p] = f[p] + f[b]
+
+    qfrc = jnp.zeros(m.nv, dtype)
+    for b in range(1, m.nbody):
+        for k in meta.body_dofs[b]:
+            qfrc = qfrc.at[k].set(cdof[k] @ f[b])
+    return qfrc
+
+
+# --------------------------------------------------------------------------
+# Passive forces (springs; damping handled separately for implicit Euler)
+# --------------------------------------------------------------------------
+
+def spring_force(m: M.Model, qpos: jnp.ndarray) -> jnp.ndarray:
+    """qfrc from joint springs: -stiffness * (qpos - qpos_spring)."""
+    dtype = qpos.dtype
+    qfrc = jnp.zeros(m.nv, dtype)
+    for j in range(m.njnt):
+        stiff = m.jnt_stiffness[j]
+        jtype = m.jnt_type[j]
+        qadr, dadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
+        if jtype in (M.SLIDE, M.HINGE):
+            qfrc = qfrc.at[dadr].add(
+                -stiff * (qpos[qadr] - m.qpos_spring[qadr]))
+        elif jtype == M.FREE:
+            qfrc = qfrc.at[dadr:dadr + 3].add(
+                -stiff * (qpos[qadr:qadr + 3]
+                          - m.qpos_spring[qadr:qadr + 3]))
+            # rotational spring on free joints unused by the task suite
+    return qfrc
+
+
+def damping_force(m: M.Model, qvel: jnp.ndarray) -> jnp.ndarray:
+    return -m.dof_damping * qvel
+
+
+# --------------------------------------------------------------------------
+# Actuation
+# --------------------------------------------------------------------------
+
+def actuation(m: M.Model, qpos, qvel, ctrl) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(actuator_force, qfrc_actuator) following mj_fwdActuation semantics."""
+    dtype = qpos.dtype
+    if m.nu == 0 or (m.opt.disableflags & M.DSBL_ACTUATION):
+        return jnp.zeros((m.nu,), dtype), jnp.zeros((m.nv,), dtype)
+
+    forces = []
+    qfrc = jnp.zeros(m.nv, dtype)
+    for u in range(m.nu):
+        c = ctrl[u]
+        if m.actuator_ctrllimited[u]:
+            c = jnp.clip(c, m.actuator_ctrlrange[u, 0],
+                         m.actuator_ctrlrange[u, 1])
+        gear = m.actuator_gear[u]
+        if m.actuator_trntype[u] == M.TRN_JOINT:
+            j = m.actuator_trnid[u]
+            adr = m.jnt_dofadr[j]
+            qadr = m.jnt_qposadr[j]
+            length = gear * qpos[qadr]
+            velocity = gear * qvel[adr]
+        else:  # fixed tendon
+            t = m.actuator_trnid[u]
+            row = m.tendon_moment[t]
+            # fixed tendons only couple slide/hinge dofs: dof adr == qpos adr
+            length = gear * (row @ qpos[:m.nv])
+            velocity = gear * (row @ qvel)
+
+        force = m.actuator_gainprm[u, 0] * c
+        if m.actuator_biastype[u] == M.BIAS_AFFINE:
+            force = (force + m.actuator_biasprm[u, 0]
+                     + m.actuator_biasprm[u, 1] * length
+                     + m.actuator_biasprm[u, 2] * velocity)
+        if m.actuator_forcelimited[u]:
+            force = jnp.clip(force, m.actuator_forcerange[u, 0],
+                             m.actuator_forcerange[u, 1])
+        forces.append(force)
+
+        if m.actuator_trntype[u] == M.TRN_JOINT:
+            j = m.actuator_trnid[u]
+            adr = m.jnt_dofadr[j]
+            width = _dof_width(m.jnt_type[j])
+            if width == 1:
+                qfrc = qfrc.at[adr].add(gear * force)
+            else:
+                # free/ball transmission uses the first gear column only
+                qfrc = qfrc.at[adr].add(gear * force)
+        else:
+            t = m.actuator_trnid[u]
+            qfrc = qfrc + m.tendon_moment[t] * (gear * force)
+
+    return jnp.stack(forces), qfrc

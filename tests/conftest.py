@@ -1,0 +1,20 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+
+The driver environment registers a TPU PJRT plugin in every interpreter and
+forces jax_platforms to it; tests override back to CPU with 8 virtual
+devices so multi-chip sharding paths are exercised without TPU hardware
+(mirrors how the driver validates `dryrun_multichip`).
+"""
+
+import os
+import sys
+
+os.environ.setdefault('XLA_FLAGS', '--xla_force_host_platform_device_count=8')
+if '--xla_force_host_platform_device_count' not in os.environ['XLA_FLAGS']:
+    os.environ['XLA_FLAGS'] += ' --xla_force_host_platform_device_count=8'
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
