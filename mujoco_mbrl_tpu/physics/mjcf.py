@@ -585,11 +585,13 @@ def parse(xml_string: str, dtype=np.float32) -> M.Model:
                              biastype=biastype))
     nu = len(acts)
 
+    import jax.numpy as jnp
+
     def arr(x, shape=None):
         a = np.asarray(x, dtype=dtype)
         if shape is not None and a.size == 0:
             a = a.reshape(shape)
-        return a
+        return jnp.asarray(a)
 
     names = {'body': b.body_names, 'joint': b.jnt_names,
              'geom': b.geom_names, 'site': b.site_names,

@@ -1,0 +1,208 @@
+"""RL environment core: dm_env TimeStep protocol as pure JAX functions.
+
+Functional re-design of the reference env loop
+(``dm_control/dm_control/rl/control.py:35-197``):
+
+* ``Environment.reset(key)`` and ``Environment.step(state, action)`` are
+  pure, so ``vmap`` turns one env into an env *batch* and ``jit`` fuses the
+  whole rollout; this replaces the reference's process-pool parallel
+  collection (``src/mbrl/parallel.py``) with lockstep SPMD stepping.
+* Auto-reset on the step after LAST (rl/control.py:101-130) is replicated
+  with `where`-masking in :meth:`Environment.autoreset_step`, since lockstep
+  vmap cannot early-exit.
+* ``control_timestep = physics_timestep * n_sub_steps`` bookkeeping follows
+  rl/control.py:166-197.
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..physics import engine
+from ..physics import model as M
+
+FIRST, MID, LAST = 0, 1, 2
+
+
+@struct.dataclass
+class TimeStep:
+    step_type: jnp.ndarray   # int32: FIRST/MID/LAST
+    reward: jnp.ndarray      # float
+    discount: jnp.ndarray    # float
+    observation: Dict[str, jnp.ndarray]
+
+    def first(self):
+        return self.step_type == FIRST
+
+    def last(self):
+        return self.step_type == LAST
+
+
+@struct.dataclass
+class EnvState:
+    """Carried env state: physics + per-episode task params + bookkeeping."""
+    physics: M.State
+    params: Any              # task-specific pytree ((), or model overrides)
+    step_count: jnp.ndarray  # int32 control steps taken this episode
+
+
+class ArraySpec:
+    def __init__(self, shape, dtype, name=''):
+        self.shape = tuple(shape)
+        self.dtype = np.dtype(dtype)
+        self.name = name
+
+    def __repr__(self):
+        return f'ArraySpec(shape={self.shape}, dtype={self.dtype}, name={self.name!r})'
+
+
+class BoundedArraySpec(ArraySpec):
+    def __init__(self, shape, dtype, minimum, maximum, name=''):
+        super().__init__(shape, dtype, name)
+        self.minimum = np.broadcast_to(np.asarray(minimum), shape)
+        self.maximum = np.broadcast_to(np.asarray(maximum), shape)
+
+    def __repr__(self):
+        return (f'BoundedArraySpec(shape={self.shape}, dtype={self.dtype}, '
+                f'min={self.minimum}, max={self.maximum})')
+
+
+def action_spec(model: M.Model) -> BoundedArraySpec:
+    """Action spec from actuator ctrlrange (engine.py:866-876 semantics)."""
+    lo = np.full(model.nu, -np.inf)
+    hi = np.full(model.nu, np.inf)
+    cr = np.asarray(model.actuator_ctrlrange)
+    for u in range(model.nu):
+        if model.actuator_ctrllimited[u]:
+            lo[u], hi[u] = cr[u, 0], cr[u, 1]
+    return BoundedArraySpec((model.nu,), np.float32, lo, hi, 'action')
+
+
+def flatten_observation(obs: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Concatenate an observation dict into one vector (rl/control.py:377-402)."""
+    parts = []
+    for k in obs:
+        v = obs[k]
+        parts.append(jnp.atleast_1d(v).reshape(-1))
+    return jnp.concatenate(parts)
+
+
+class Environment:
+    """A task bound to a compiled model; all methods are pure functions.
+
+    Unlike the reference's stateful ``control.Environment`` the instance
+    holds only static configuration — episode state lives in
+    :class:`EnvState`, so instances are free to cross jit/vmap boundaries.
+    """
+
+    def __init__(self, model: M.Model, task, time_limit: float = float('inf'),
+                 control_timestep: Optional[float] = None,
+                 contact_fn=None):
+        self._model = model
+        self._task = task
+        if control_timestep is None:
+            control_timestep = float(model.opt.timestep)
+        self._n_sub_steps = engine.n_substeps(model, control_timestep)
+        self._control_timestep = control_timestep
+        self._time_limit = time_limit
+        if time_limit == float('inf'):
+            self._max_steps = np.iinfo(np.int32).max
+        else:
+            self._max_steps = int(round(time_limit / control_timestep))
+        self._contact_fn = contact_fn
+
+    # -- static info -----------------------------------------------------
+    @property
+    def model(self) -> M.Model:
+        return self._model
+
+    @property
+    def task(self):
+        return self._task
+
+    @property
+    def max_steps(self) -> int:
+        return self._max_steps
+
+    def control_timestep(self) -> float:
+        return self._control_timestep
+
+    def action_spec(self) -> BoundedArraySpec:
+        return action_spec(self._model)
+
+    def observation_spec(self) -> Dict[str, ArraySpec]:
+        state, ts = self.reset(jax.random.PRNGKey(0))
+        return collections.OrderedDict(
+            (k, ArraySpec(np.shape(v), np.asarray(v).dtype, k))
+            for k, v in ts.observation.items())
+
+    # -- dynamics ---------------------------------------------------------
+    def _model_with(self, params) -> M.Model:
+        """Apply per-episode task parameter overrides to the model."""
+        if hasattr(self._task, 'apply_params'):
+            return self._task.apply_params(self._model, params)
+        return self._model
+
+    def reset(self, key: jnp.ndarray) -> Tuple[EnvState, TimeStep]:
+        """Start a new episode (task randomization via explicit PRNG key)."""
+        phys, params = self._task.initialize_episode(self._model, key)
+        m = self._model_with(params)
+        # settle kinematics (mirrors reset -> after_reset -> mj_forward)
+        obs = self._observe(m, phys, params)
+        state = EnvState(physics=phys, params=params,
+                         step_count=jnp.zeros((), jnp.int32))
+        zero = jnp.zeros((), phys.qpos.dtype)
+        ts = TimeStep(step_type=jnp.full((), FIRST, jnp.int32),
+                      reward=zero, discount=zero + 1.0, observation=obs)
+        return state, ts
+
+    def _observe(self, m, phys, params):
+        data = engine.forward(m, phys, jnp.zeros((m.nu,), phys.qpos.dtype),
+                              self._contact_fn)
+        return self._task.get_observation(m, phys, data)
+
+    def step(self, state: EnvState, action: jnp.ndarray) -> Tuple[EnvState, TimeStep]:
+        """One control step: task.before_step -> N physics substeps -> reward."""
+        m = self._model_with(state.params)
+        ctrl = self._task.before_step(action, m) if hasattr(
+            self._task, 'before_step') else action
+        phys = engine.substep(m, state.physics, ctrl, self._n_sub_steps,
+                              self._contact_fn)
+        data = engine.forward(m, phys, ctrl, self._contact_fn)
+        obs = self._task.get_observation(m, phys, data)
+        reward = self._task.get_reward(m, phys, data, ctrl)
+        step_count = state.step_count + 1
+        is_last = step_count >= self._max_steps
+        step_type = jnp.where(is_last, LAST, MID).astype(jnp.int32)
+        discount = jnp.ones((), phys.qpos.dtype)
+        new_state = EnvState(physics=phys, params=state.params,
+                             step_count=step_count)
+        return new_state, TimeStep(step_type=step_type,
+                                   reward=jnp.asarray(reward, phys.qpos.dtype),
+                                   discount=discount, observation=obs)
+
+    def autoreset_step(self, state: EnvState, action: jnp.ndarray,
+                       key: jnp.ndarray) -> Tuple[EnvState, TimeStep]:
+        """step() that restarts the episode after LAST (lockstep-vmap safe).
+
+        Replicates rl/control.py:101-106: the step *after* a LAST timestep
+        resets and returns FIRST. Both branches are evaluated; `where`
+        masks select — the standard SPMD trade.
+        """
+        stepped_state, stepped_ts = self.step(state, action)
+        reset_state, reset_ts = self.reset(key)
+        was_last = state.step_count >= self._max_steps
+
+        def pick(a, b):
+            return jax.tree_util.tree_map(
+                lambda x, y: jnp.where(
+                    jnp.reshape(was_last, (1,) * np.ndim(x)) if np.ndim(x)
+                    else was_last, x, y), a, b)
+
+        return pick(reset_state, stepped_state), pick(reset_ts, stepped_ts)

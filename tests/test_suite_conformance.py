@@ -1,0 +1,131 @@
+"""Suite-wide conformance tests, parameterized over every registered task.
+
+Mirrors the reference's conformance harness
+(``dm_control/dm_control/suite/tests/domains_test.py``): spec conformance,
+rewards in [0,1] for benchmarking tasks, determinism under fixed seed,
+randomized initial state, episode-end bookkeeping.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mujoco_mbrl_tpu import suite
+
+ALL_TASKS = suite.all_tasks()
+BENCHMARKING = suite.benchmarking()
+
+
+def _uniform_actions(env, key, n):
+    spec = env.action_spec()
+    lo = np.where(np.isfinite(spec.minimum), spec.minimum, -1.0)
+    hi = np.where(np.isfinite(spec.maximum), spec.maximum, 1.0)
+    return jax.random.uniform(key, (n,) + spec.shape,
+                              minval=lo, maxval=hi)
+
+
+def _rollout(env, seed, n=20):
+    key = jax.random.PRNGKey(seed)
+    state, ts = jax.jit(env.reset)(key)
+    actions = _uniform_actions(env, jax.random.fold_in(key, 1), n)
+
+    def body(s, a):
+        s, ts = env.step(s, a)
+        return s, (ts.reward, suite.flatten_observation(ts.observation))
+
+    _, (rewards, obs) = jax.jit(
+        lambda s, a: jax.lax.scan(body, s, a))(state, actions)
+    return np.asarray(rewards), np.asarray(obs)
+
+
+@pytest.mark.parametrize('domain,task', ALL_TASKS)
+class TestAllTasks:
+    def test_components_and_specs(self, domain, task):
+        env = suite.load(domain, task)
+        spec = env.action_spec()
+        assert spec.shape == (env.model.nu,)
+        obs_spec = env.observation_spec()
+        assert len(obs_spec) >= 1
+        for name, s in obs_spec.items():
+            assert s.dtype == np.float32, name
+
+    def test_step_produces_finite_obs(self, domain, task):
+        rewards, obs = _rollout(suite.load(domain, task), seed=0)
+        assert np.isfinite(obs).all()
+        assert np.isfinite(rewards).all()
+
+    def test_determinism(self, domain, task):
+        """Same PRNG seed -> bitwise identical trajectories
+        (domains_test.py:171-186)."""
+        env = suite.load(domain, task)
+        r1, o1 = _rollout(env, seed=11)
+        r2, o2 = _rollout(env, seed=11)
+        np.testing.assert_array_equal(r1, r2)
+        np.testing.assert_array_equal(o1, o2)
+
+    def test_initial_state_randomized(self, domain, task):
+        """Different seeds -> different episodes (domains_test.py:282)."""
+        env = suite.load(domain, task)
+        s1, t1 = jax.jit(env.reset)(jax.random.PRNGKey(0))
+        s2, t2 = jax.jit(env.reset)(jax.random.PRNGKey(1))
+        o1 = suite.flatten_observation(t1.observation)
+        o2 = suite.flatten_observation(t2.observation)
+        assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+@pytest.mark.parametrize('domain,task', BENCHMARKING)
+def test_benchmarking_rewards_in_unit_interval(domain, task):
+    """domains_test.py:99-104."""
+    rewards, _ = _rollout(suite.load(domain, task), seed=3, n=30)
+    assert (rewards >= 0).all() and (rewards <= 1).all()
+
+
+class TestEpisodeBookkeeping:
+    def test_last_step_at_time_limit(self):
+        env = suite.load('cartpole', 'balance')
+        assert env.max_steps == 1000  # 10s / 0.01s
+        state, ts = jax.jit(env.reset)(jax.random.PRNGKey(0))
+        state = state.replace(step_count=jnp.asarray(999, jnp.int32))
+        state, ts = jax.jit(env.step)(state, jnp.zeros(1))
+        assert int(ts.step_type) == suite.control.LAST
+
+    def test_autoreset_after_last(self):
+        env = suite.load('pendulum', 'swingup')
+        state, ts = jax.jit(env.reset)(jax.random.PRNGKey(0))
+        state = state.replace(step_count=jnp.asarray(env.max_steps, jnp.int32))
+        new_state, ts = jax.jit(env.autoreset_step)(
+            state, jnp.zeros(1), jax.random.PRNGKey(9))
+        assert int(ts.step_type) == suite.control.FIRST
+        assert int(new_state.step_count) == 0
+
+    def test_batched_vmap_stepping(self):
+        env = suite.load('cartpole', 'swingup')
+        keys = jax.random.split(jax.random.PRNGKey(0), 32)
+        bstate, bts = jax.jit(jax.vmap(env.reset))(keys)
+        acts = jnp.zeros((32, 1))
+        bstate, bts = jax.jit(jax.vmap(env.step))(bstate, acts)
+        assert bts.reward.shape == (32,)
+        assert np.isfinite(np.asarray(bts.reward)).all()
+
+
+class TestLoader:
+    """Mirrors suite/tests/loader_test.py:30-47."""
+
+    def test_load_without_kwargs(self):
+        env = suite.load('cartpole', 'swingup')
+        assert isinstance(env, suite.Environment)
+
+    def test_load_with_kwargs(self):
+        env = suite.load('cartpole', 'swingup',
+                         task_kwargs={'time_limit': 40})
+        assert env.max_steps == 4000
+
+    def test_unknown_task_raises(self):
+        with pytest.raises(ValueError):
+            suite.load('cartpole', 'does_not_exist')
+
+    def test_registry_tags(self):
+        from mujoco_mbrl_tpu.suite import cartpole
+        assert 'swingup' in cartpole.SUITE.tagged('benchmarking')
+        assert 'two_poles' not in cartpole.SUITE.tagged('benchmarking')
