@@ -7,11 +7,11 @@ into the collect->fit->plan loop, instead of pickled python object lists.
 """
 
 from .replay import (Rollouts, ReplayBuffer, Stats, init_replay, add_rollouts,
-                     sample_transitions, epoch_batches, num_transitions,
-                     normalize, unnormalize, compute_stats)
+                     sample_transitions, gather_windows, epoch_batches,
+                     num_transitions, normalize, unnormalize, compute_stats)
 
 __all__ = [
     'Rollouts', 'ReplayBuffer', 'Stats', 'init_replay', 'add_rollouts',
-    'sample_transitions', 'epoch_batches', 'num_transitions',
-    'normalize', 'unnormalize', 'compute_stats',
+    'sample_transitions', 'gather_windows', 'epoch_batches',
+    'num_transitions', 'normalize', 'unnormalize', 'compute_stats',
 ]

@@ -66,8 +66,11 @@ class PointMass(base.Task):
         qpos = randomizers.randomize_limited_and_rotational_joints(
             model, jnp.asarray(model.qpos0), k1)
         state = make_state(model, qpos=qpos)
+        # params = (target_xy, tendon_moment?) — target defaults to origin
+        # but is overridable by goal-state agents (env_wrappers.py:174-181).
+        target_xy = jnp.zeros(2)
         if not self._randomize_gains:
-            return state, ()
+            return state, target_xy
         # Random, not-too-parallel actuation directions: fixed-trial
         # rejection sampling so shapes stay static under jit.
         kd1, kd2 = jax.random.split(k2)
@@ -80,12 +83,17 @@ class PointMass(base.Task):
         idx = jnp.argmax(ok)   # first acceptable candidate
         dir2 = cands[idx]
         tendon_moment = jnp.stack([dir1, dir2])
-        return state, tendon_moment
+        return state, (target_xy, tendon_moment)
 
     def apply_params(self, model, params):
         if self._randomize_gains:
-            return model.replace(tendon_moment=params)
-        return model
+            target_xy, tendon_moment = params
+            model = model.replace(tendon_moment=tendon_moment)
+        else:
+            target_xy = params
+        tid = model.name2id('geom', 'target')
+        return model.replace(
+            geom_pos=model.geom_pos.at[tid, :2].set(target_xy))
 
     def get_observation(self, model, phys, data):
         return {'position': phys.qpos, 'velocity': phys.qvel}

@@ -16,5 +16,8 @@ if '--xla_force_host_platform_device_count' not in os.environ['XLA_FLAGS']:
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_compilation_cache_dir', '/tmp/jax_test_cache')
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

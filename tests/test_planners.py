@@ -1,0 +1,104 @@
+"""Planner tests on a toy analytic world (no physics needed).
+
+Port of the reference's planner smoke tests
+(``src/mbrl/test_random_shooting.py``, ``src/mbrl/test_gradient_planner.py``):
+a 1-D world with dynamics s' = s + a and cost |s - goal| — the planner must
+steer the state to the goal.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_mbrl_tpu import planners
+
+GOAL = 5.0
+
+
+def toy_model(s, a):
+    return s + a
+
+
+def toy_cost(states, actions):
+    return jnp.abs(states[..., 0] - GOAL)
+
+
+def sample_action(key, batch_shape):
+    return jax.random.uniform(key, tuple(batch_shape) + (1,),
+                              minval=-1.0, maxval=1.0)
+
+
+class TestRandomShooting:
+    def test_reaches_goal(self):
+        traj = jax.jit(lambda k, s: planners.random_shooting(
+            k, s, toy_model, toy_cost, sample_action, horizon=10,
+            num_trajectories=500))(
+            jax.random.PRNGKey(0), jnp.zeros(1))
+        assert abs(float(traj.states[-1, 0]) - GOAL) < 1.0
+        assert traj.actions.shape == (10, 1)
+        assert traj.states.shape == (11, 1)
+
+    def test_warm_start_candidate_kept(self):
+        """A perfect warm-start trajectory must never be beaten."""
+        perfect = planners.Trajectory(
+            states=jnp.cumsum(jnp.full((11, 1), 0.5), 0) - 0.5,
+            actions=jnp.full((10, 1), 0.5))
+        traj = planners.random_shooting(
+            jax.random.PRNGKey(1), jnp.zeros(1), toy_model, toy_cost,
+            sample_action, horizon=10, num_trajectories=8,
+            initial_trajectory=perfect)
+        final_cost = abs(float(traj.states[-1, 0]) - GOAL)
+        assert final_cost <= abs(5.0 - 10 * 0.5) + 1e-5
+
+
+class TestCEM:
+    def test_reaches_goal(self):
+        traj = jax.jit(lambda k, s: planners.cem(
+            k, s, toy_model, toy_cost, horizon=10, action_dim=1,
+            num_candidates=300, num_elites=30, num_iterations=5))(
+            jax.random.PRNGKey(0), jnp.zeros(1))
+        assert abs(float(traj.states[-1, 0]) - GOAL) < 0.8
+
+    def test_beats_random_shooting_on_budget(self):
+        """Same sample budget: CEM's final cost <= RS's (it iterates)."""
+        key = jax.random.PRNGKey(42)
+        rs = planners.random_shooting(key, jnp.zeros(1), toy_model,
+                                      toy_cost, sample_action, horizon=10,
+                                      num_trajectories=1500)
+        ce = planners.cem(key, jnp.zeros(1), toy_model, toy_cost,
+                          horizon=10, action_dim=1, num_candidates=300,
+                          num_elites=30, num_iterations=5)
+        rs_cost = abs(float(rs.states[-1, 0]) - GOAL)
+        ce_cost = abs(float(ce.states[-1, 0]) - GOAL)
+        assert ce_cost <= rs_cost + 0.2
+
+
+class TestGradientDescent:
+    def test_reaches_goal(self):
+        traj = jax.jit(lambda k, s: planners.gradient_descent(
+            k, s, toy_model, toy_cost, sample_action, horizon=10,
+            num_iterations=200, stop_condition=1e-5, learning_rate=0.1))(
+            jax.random.PRNGKey(0), jnp.zeros(1))
+        assert abs(float(traj.states[-1, 0]) - GOAL) < 0.5
+
+    def test_early_stop(self):
+        """With an immediately-satisfied stop condition, actions barely move."""
+        init = planners.Trajectory(
+            states=jnp.zeros((11, 1)), actions=jnp.zeros((10, 1)))
+        traj = planners.gradient_descent(
+            jax.random.PRNGKey(0), jnp.zeros(1), toy_model, toy_cost,
+            sample_action, horizon=10, num_iterations=40,
+            stop_condition=1e9, initial_trajectory=init)
+        # one Adam step of lr=0.01 max
+        assert float(jnp.abs(traj.actions).max()) < 0.05
+
+
+class TestPlannerAPI:
+    def test_plan_interface(self):
+        for cls in (planners.RandomShootingPlanner, planners.CEMPlanner,
+                    planners.GradientDescentPlanner):
+            traj = cls.plan(jnp.zeros(1), toy_model, toy_cost,
+                            sample_action, horizon=5,
+                            key=jax.random.PRNGKey(0))
+            assert traj.actions.shape == (5, 1)
+            assert traj.states.shape == (6, 1)
