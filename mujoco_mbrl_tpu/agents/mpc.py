@@ -1,0 +1,371 @@
+"""MPC agents: receding-horizon control + the collect->fit->plan loop.
+
+Reference contract: ``src/mbrl/agents.py``.
+
+* :class:`MPCPolicy` — replan every step with a one-step warm start
+  (agents.py:29-56). The policy is a pure function with an explicit
+  `(valid, last_trajectory)` carry so whole MPC rollouts jit into a single
+  XLA program: `lax.scan` over env steps, planner (vmap over candidates x
+  scan over horizon) inside.
+* :class:`MPCAgent` — outer-loop scaffolding: rollout collection into the
+  device replay buffer, metric recording, checkpointing
+  (agents.py:58-180). Collection is lockstep-vmapped instead of the
+  reference's NUM_WORKERS process pool.
+* :class:`GoalStateAgent` — plans against hand-built goal costs
+  (smooth-abs state + cosh action, agents.py:182-298); goal resampled
+  every iteration; models trained on z-normalized flat observations
+  (obs_only data mode).
+* :class:`RewardAgent` — plans against the model's learned reward head
+  (agents.py:300-379). NOTE: the reference passes the *raw* predicted
+  reward as the cost to argmin (agents.py:342-366), i.e. it minimizes
+  predicted reward; here the cost is the negated predicted reward, which
+  is the evidently intended behavior.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import data as D
+from .. import models as Mo
+from .. import planners as P
+from ..envs import EnvWrapper
+from ..utils import MetricsWriter, logger, save_pytree, load_pytree
+
+
+class MPCPolicy:
+    """Warm-started receding-horizon policy as a scan-carry pure function.
+
+    `policy(key, t, state_vec, obs_vec, carry) -> (action, carry)` — the
+    protocol expected by EnvWrapper.rollout_fn. Carry holds the previous
+    plan; at t == 0 it is invalidated (agents.py:39-40).
+    """
+
+    def __init__(self, model: Callable, cost: Callable, planner,
+                 sample_action: Callable, horizon: int, action_dim: int,
+                 obs_dim: int, planner_kwargs: Optional[dict] = None):
+        self.model = model
+        self.cost = cost
+        self.planner = planner
+        self.sample_action = sample_action
+        self.horizon = horizon
+        self.action_dim = action_dim
+        self.obs_dim = obs_dim
+        self.planner_kwargs = planner_kwargs or {}
+
+    def init_carry(self):
+        H = self.horizon
+        return (jnp.zeros((), jnp.bool_),
+                P.Trajectory(states=jnp.zeros((H + 1, self.obs_dim)),
+                             actions=jnp.zeros((H, self.action_dim))))
+
+    def __call__(self, key, t, state_vec, obs_vec, carry):
+        valid, last = carry
+        valid = jnp.logical_and(valid, t != 0)
+        kf, kp = jax.random.split(key)
+        # Warm start: previous plan's actions, else planner-appropriate
+        # fallback (random for shooting/GD, zeros for CEM mean).
+        if self.planner is P.CEMPlanner:
+            fallback = jnp.zeros_like(last.actions)
+        else:
+            fallback = self.sample_action(kf, (self.horizon,))
+        warm_actions = jnp.where(valid, last.actions, fallback)
+        init_traj = P.Trajectory(states=last.states, actions=warm_actions)
+
+        traj = self.planner.plan(
+            obs_vec, self.model, self.cost, self.sample_action,
+            self.horizon, initial_trajectory=init_traj, key=kp,
+            **self.planner_kwargs)
+        return traj.actions[0], (jnp.ones((), jnp.bool_), traj)
+
+
+def save(agent: 'MPCAgent', path: str) -> None:
+    """Checkpoint the agent's training state (supersedes whole-object
+    pickling, agents.py:22-27)."""
+    save_pytree(path, agent.checkpoint_state())
+
+
+def load(agent: 'MPCAgent', path: str) -> None:
+    """Restore state saved by `save` into an identically-configured agent."""
+    state = load_pytree(path, agent.checkpoint_state())
+    agent.restore_state(state)
+
+
+class MPCAgent:
+    """Outer-loop scaffolding (agents.py:58-180)."""
+
+    def __init__(self, environment: EnvWrapper, planner, model, horizon: int,
+                 optimizer: optax.GradientTransformation,
+                 rollout_length: int, num_rollouts_per_iteration: int,
+                 num_train_iterations: int,
+                 writer: Optional[MetricsWriter], base_path: str,
+                 dataset: Optional[D.ReplayBuffer] = None,
+                 planner_kwargs: Optional[dict] = None,
+                 train_epochs: int = 50, train_batch_size: int = 512,
+                 num_initial_rollouts: int = 20,
+                 seed: int = 0):
+        self.environment = environment
+        self.planner = planner
+        self.model = model
+        self.horizon = horizon
+        self.optimizer = optimizer
+        self.rollout_length = rollout_length
+        self.num_rollouts_per_iteration = num_rollouts_per_iteration
+        self.num_train_iterations = num_train_iterations
+        self.writer = writer
+        self.base_path = base_path
+        self.planner_kwargs = planner_kwargs or {}
+        self.train_epochs = train_epochs
+        self.train_batch_size = train_batch_size
+        self.num_initial_rollouts = num_initial_rollouts
+
+        self.key = jax.random.PRNGKey(seed)
+        self.params = model.init(self._next_key())
+        self.opt_state = optimizer.init(self.params)
+        self.train_iterations = 0
+
+        if dataset is None:
+            # reference default: 10k transitions capacity (agents.py:81)
+            cap_rollouts = max(10000 // rollout_length, 1)
+            dataset = D.init_replay(
+                cap_rollouts, rollout_length,
+                state_dim=environment.state_dim,
+                obs_dim=environment.observation_dim,
+                act_dim=environment.action_dim)
+        self.dataset = dataset
+
+        self._jit_random_collect = jax.jit(
+            lambda key, goal: self.environment.get_rollouts(
+                key, self.num_rollouts_per_iteration, self.rollout_length,
+                policy=None, goal_state=goal))
+        self._jit_seed_collect = jax.jit(
+            lambda key, goal: self.environment.get_rollouts(
+                key, self.num_initial_rollouts, self.rollout_length,
+                policy=None, goal_state=goal))
+
+    # ------------------------------------------------------------------
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def checkpoint_state(self):
+        return {'params': self.params, 'opt_state': self.opt_state,
+                'dataset': self.dataset, 'key': self.key,
+                'iter': jnp.asarray(self.train_iterations)}
+
+    def restore_state(self, state):
+        self.params = state['params']
+        self.opt_state = state['opt_state']
+        self.dataset = state['dataset']
+        self.key = state['key']
+        self.train_iterations = int(state['iter'])
+
+    # ------------------------------------------------------------------
+    def add_rollouts(self, policy_collect=None, num_rollouts=None,
+                     goal_state=None):
+        """Collect rollouts (lockstep batch) and append to the replay."""
+        rollout_type = 'policy' if policy_collect is not None else 'random'
+        n = num_rollouts or self.num_rollouts_per_iteration
+        logger.info('Generating %d %s rollouts of %d length.',
+                    n, rollout_type, self.rollout_length)
+        key = self._next_key()
+        if policy_collect is not None:
+            rolls = policy_collect(key, goal_state)
+        elif n == self.num_initial_rollouts:
+            rolls = self._jit_seed_collect(key, goal_state)
+        else:
+            rolls = self._jit_random_collect(key, goal_state)
+        self.dataset = D.add_rollouts(self.dataset, rolls)
+        self._record_metrics(rolls, rollout_type)
+        return rolls
+
+    def _record_metrics(self, rolls: D.Rollouts, rollout_type: str):
+        if self.writer is None:
+            return
+        sums = np.asarray(rolls.sum_of_rewards())
+        self.writer.add_scalar(f'AvgRolloutRewards/{rollout_type}',
+                               sums.mean(), self.train_iterations)
+        self.writer.add_histogram(f'RolloutRewards/{rollout_type}',
+                                  sums, self.train_iterations)
+
+    def fit_model(self):
+        """One model-fitting phase on the current replay buffer."""
+        norms = Mo.train.make_normalizers(self.dataset)
+        self.params, self.opt_state, log = jax.jit(
+            lambda p, o, buf, k: Mo.train_model(
+                self.model, p, buf, k, optimizer=self.optimizer,
+                opt_state=o, batch_size=self.train_batch_size,
+                num_epochs=self.train_epochs, normalizers=norms))(
+            self.params, self.opt_state, self.dataset, self._next_key())
+        if self.writer is not None:
+            losses = np.asarray(log.losses)
+            for i in range(0, len(losses), max(len(losses) // 50, 1)):
+                self.writer.add_scalar(
+                    f'loss/state/{self.train_iterations}',
+                    losses[i], i)
+        return log
+
+    def train(self):
+        raise NotImplementedError
+
+    def get_action(self, key, obs_vec):
+        raise NotImplementedError
+
+
+class GoalStateAgent(MPCAgent):
+    """Cost = smooth-abs(obs - goal) + cosh(action) (agents.py:182-298)."""
+
+    def __init__(self, *, action_cost=None, state_cost_weights=None,
+                 **kwargs):
+        super().__init__(**kwargs)
+        env = self.environment
+        self.state_cost_weights = (
+            state_cost_weights if state_cost_weights is not None
+            else env.get_goal_weights())
+        self.action_cost_alpha = getattr(action_cost, 'alpha', 0.25)
+        self.training_goal_state = None
+
+        # One jitted collector: (params, stats-normalizers, goal, key).
+        self._jit_policy_collect_n = {}
+
+    # -- policy construction (pure, closed over nothing traced) ---------
+    def _make_policy(self, params, norms, goal_state):
+        env = self.environment
+        model_fn = lambda s, a: self.model.forward(params, s, a, norms)
+
+        def cost(states, actions):
+            sc = Mo.smooth_abs_loss(states, goal_state,
+                                    self.state_cost_weights)
+            ac = Mo.cosh_loss(actions, self.action_cost_alpha)
+            return sc + ac
+
+        return MPCPolicy(
+            model=model_fn, cost=cost, planner=self.planner,
+            sample_action=env.sample_action, horizon=self.horizon,
+            action_dim=env.action_dim, obs_dim=env.observation_dim,
+            planner_kwargs=self.planner_kwargs)
+
+    def _policy_collect(self, n):
+        """Jitted: collect n MPC rollouts for given (params, norms, goal)."""
+        if n not in self._jit_policy_collect_n:
+            env = self.environment
+
+            def collect(params, norms, goal, key):
+                policy = self._make_policy(params, norms, goal)
+                return env.get_rollouts(
+                    key, n, self.rollout_length, policy=policy,
+                    goal_state=goal, policy_init=policy.init_carry)
+
+            self._jit_policy_collect_n[n] = jax.jit(collect)
+        return self._jit_policy_collect_n[n]
+
+    def _reset_goal(self):
+        self.training_goal_state = self.environment.set_goal(
+            self._next_key())
+
+    def _record_metrics(self, rolls, rollout_type):
+        super()._record_metrics(rolls, rollout_type)
+        if self.writer is None or self.training_goal_state is None:
+            return
+        sc = np.asarray(Mo.smooth_abs_loss(
+            rolls.observations, self.training_goal_state,
+            self.state_cost_weights).sum(-1))
+        ac = np.asarray(Mo.cosh_loss(
+            rolls.actions, self.action_cost_alpha).sum(-1))
+        for name, vals in [('State', sc), ('Action', ac),
+                           ('Total', sc + ac)]:
+            self.writer.add_scalar(f'AvgRollout{name}Costs/{rollout_type}',
+                                   vals.mean(), self.train_iterations)
+            self.writer.add_histogram(f'Rollout{name}Costs/{rollout_type}',
+                                      vals, self.train_iterations)
+
+    def train(self):
+        """Seed rollouts -> [fit -> collect] x N (agents.py:282-295)."""
+        logger.info('Starting outer training loop.')
+        self._reset_goal()
+        self.add_rollouts(num_rollouts=self.num_initial_rollouts,
+                          goal_state=self.training_goal_state)
+        for iteration in range(1, self.num_train_iterations + 1):
+            logger.info('Iteration %d', iteration)
+            self._reset_goal()
+            self.train_iterations = iteration
+            self.fit_model()
+            norms = Mo.train.make_normalizers(self.dataset)
+            collect = self._policy_collect(self.num_rollouts_per_iteration)
+            self.add_rollouts(
+                policy_collect=lambda key, goal: collect(
+                    self.params, norms, goal, key),
+                goal_state=self.training_goal_state)
+
+    def get_action(self, key, obs_vec, carry=None, t=0):
+        norms = Mo.train.make_normalizers(self.dataset)
+        policy = self._make_policy(self.params, norms,
+                                   self.training_goal_state)
+        if carry is None:
+            carry = policy.init_carry()
+        return policy(key, jnp.asarray(t), None, obs_vec, carry)
+
+
+class RewardAgent(MPCAgent):
+    """Plans against the learned reward head (agents.py:300-379)."""
+
+    def _make_policy(self, params, norms):
+        env = self.environment
+
+        def model_fn(s, a):
+            s_next, _ = self.model.forward(params, s, a, norms)
+            return s_next
+
+        def cost(states, actions):
+            # one-step lookahead reward of the *resulting* state sequence:
+            # cost = -r_hat(s, a) evaluated along the trajectory
+            _, r = self.model.forward(params, states, actions, norms)
+            return -r[..., 0]
+
+        return MPCPolicy(
+            model=model_fn, cost=cost, planner=self.planner,
+            sample_action=env.sample_action, horizon=self.horizon,
+            action_dim=env.action_dim, obs_dim=env.observation_dim,
+            planner_kwargs=self.planner_kwargs)
+
+    def _policy_collect(self, n):
+        if not hasattr(self, '_jit_collects'):
+            self._jit_collects = {}
+        if n not in self._jit_collects:
+            env = self.environment
+
+            def collect(params, norms, key):
+                policy = self._make_policy(params, norms)
+                return env.get_rollouts(
+                    key, n, self.rollout_length, policy=policy,
+                    policy_init=policy.init_carry)
+
+            self._jit_collects[n] = jax.jit(collect)
+        return self._jit_collects[n]
+
+    def train(self):
+        logger.info('Starting outer training loop.')
+        self.add_rollouts(num_rollouts=self.num_initial_rollouts)
+        for iteration in range(1, self.num_train_iterations + 1):
+            logger.info('Iteration %d', iteration)
+            self.train_iterations = iteration
+            self.fit_model()
+            norms = Mo.train.make_normalizers(self.dataset)
+            collect = self._policy_collect(self.num_rollouts_per_iteration)
+            self.add_rollouts(
+                policy_collect=lambda key, goal: collect(
+                    self.params, norms, key))
+
+    def get_action(self, key, obs_vec, carry=None, t=0):
+        norms = Mo.train.make_normalizers(self.dataset)
+        policy = self._make_policy(self.params, norms)
+        if carry is None:
+            carry = policy.init_carry()
+        return policy(key, jnp.asarray(t), None, obs_vec, carry)

@@ -119,10 +119,17 @@ class MLPDynamics:
 
     def loss(self, params, batch, normalizers: Optional[Normalizers] = None):
         """Multistep teacher-forced MSE (models.py:69-87): batch dims
-        (B, h, dim); loss summed over horizon, mean over batch/dim."""
-        pred = self.forward(params, batch['states'], batch['actions'],
-                            normalizers)
-        per_step = jnp.mean((pred - batch['next_states']) ** 2,
+        (B, h, dim); loss summed over horizon, mean over batch/dim.
+
+        Computed in normalized space, matching the reference's training on
+        z-normalized transitions (data.py:205-227 feeds normalized inputs
+        AND outputs to the MSE)."""
+        n = normalizers or Normalizers()
+        x = jnp.concatenate([n.norm_state(batch['states']),
+                             n.norm_action(batch['actions'])], axis=-1)
+        pred = self._net(params, x)
+        target = n.norm_state(batch['next_states'])
+        per_step = jnp.mean((pred - target) ** 2,
                             axis=(0,) + tuple(range(2, pred.ndim)))
         return per_step.sum()
 
@@ -173,12 +180,22 @@ class RewardDynamics:
         return n.unnorm_state(s), n.unnorm_reward(r)
 
     def loss(self, params, batch, normalizers: Optional[Normalizers] = None):
-        pred_s, pred_r = self.forward(params, batch['states'],
-                                      batch['actions'], normalizers)
-        s_loss = jnp.mean((pred_s - batch['next_states']) ** 2,
+        """Joint state+reward MSE in normalized space (models.py:165-217)."""
+        n = normalizers or Normalizers()
+        x = jnp.concatenate([n.norm_state(batch['states']),
+                             n.norm_action(batch['actions'])], axis=-1)
+        h = jax.nn.relu(_dense(params['l1'], x))
+        h = jax.nn.relu(_dense(params['l2'], h))
+        pred_s = _dense(params['state_head'], h)
+        pred_r = _dense(params['reward_head'], h)
+        target_s = n.norm_state(batch['next_states'])
+        target_r = batch['rewards']
+        if n.reward_mean is not None:
+            target_r = (target_r - n.reward_mean[0]) / (n.reward_std[0]
+                                                        + 1e-6)
+        s_loss = jnp.mean((pred_s - target_s) ** 2,
                           axis=(0,) + tuple(range(2, pred_s.ndim))).sum()
-        r_loss = jnp.mean((pred_r[..., 0] - batch['rewards']) ** 2,
-                          axis=0).sum()
+        r_loss = jnp.mean((pred_r[..., 0] - target_r) ** 2, axis=0).sum()
         return s_loss + r_loss, {'state_loss': s_loss, 'reward_loss': r_loss}
 
 
