@@ -1,0 +1,118 @@
+"""Benchmark: env-steps/s/chip with full CEM-MPC planning in the loop.
+
+Protocol follows BASELINE.md: batched envs each running a CEM plan
+(default 1000 candidates x 30-step horizon, 5 iterations) over a learned
+MLP dynamics model every control step, plus the physics step itself —
+the complete per-step MPC workload of SURVEY §3.3, fused into one jitted
+scan. Reported metric: aggregate env-steps/s on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "env-steps/s/chip", "vs_baseline": N}
+vs_baseline is value / 10000 (the driver-set north-star target,
+BASELINE.json; the reference itself publishes no numbers).
+
+Usage: python bench.py [--envs 32] [--candidates 1000] [--horizon 30]
+                       [--steps 10] [--task cartpole_swingup] [--cpu]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def build_bench(task: str, B: int, K: int, H: int, cem_iters: int,
+                steps: int):
+    from mujoco_mbrl_tpu import models, planners, suite
+
+    domain, task_name = task.rsplit('_', 1)
+    env = suite.load(domain, task_name)
+    state0, ts0 = jax.vmap(env.reset)(jax.random.split(jax.random.PRNGKey(0),
+                                                       B))
+    obs_dim = suite.flatten_observation(
+        jax.tree_util.tree_map(lambda x: x[0], ts0.observation)).shape[0]
+    act_dim = env.model.nu
+
+    model = models.MLPDynamics(obs_dim, act_dim, hidden_units=50)
+    params = model.init(jax.random.PRNGKey(1))
+    goal = jnp.zeros(obs_dim).at[1].set(1.0)
+    weights = jnp.ones(obs_dim)
+
+    def plan_one(params, obs, key):
+        model_fn = lambda s, a: model.forward(params, s, a)
+        cost = lambda states, actions: (
+            models.smooth_abs_loss(states, goal, weights)
+            + models.cosh_loss(actions))
+        traj = planners.cem(key, obs, model_fn, cost, horizon=H,
+                            action_dim=act_dim, num_candidates=K,
+                            num_elites=max(K // 10, 1),
+                            num_iterations=cem_iters)
+        return traj.actions[0]
+
+    def run(params, env_state, key):
+        def control_step(carry, k):
+            env_state = carry
+            obs = jax.vmap(lambda s: suite.flatten_observation(
+                env._observe(env._model_with(s.params), s.physics,
+                             s.params)))(env_state)
+            keys = jax.random.split(k, B)
+            actions = jax.vmap(plan_one, in_axes=(None, 0, 0))(
+                params, obs, keys)
+            env_state, ts = jax.vmap(env.step)(env_state, actions)
+            return env_state, ts.reward.mean()
+
+        env_state, rewards = jax.lax.scan(
+            control_step, env_state, jax.random.split(key, steps))
+        return env_state, rewards
+
+    return jax.jit(run), (params, state0, jax.random.PRNGKey(2))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--task', default='cartpole_swingup')
+    p.add_argument('--envs', type=int, default=128)
+    p.add_argument('--candidates', type=int, default=1000)
+    p.add_argument('--horizon', type=int, default=30)
+    p.add_argument('--cem_iters', type=int, default=5)
+    p.add_argument('--steps', type=int, default=10)
+    p.add_argument('--repeats', type=int, default=3)
+    p.add_argument('--cpu', action='store_true')
+    args = p.parse_args()
+
+    if args.cpu:
+        jax.config.update('jax_platforms', 'cpu')
+
+    run, (params, state0, key) = build_bench(
+        args.task, args.envs, args.candidates, args.horizon,
+        args.cem_iters, args.steps)
+
+    # compile + warmup
+    out = run(params, state0, key)
+    jax.block_until_ready(out)
+
+    times = []
+    for r in range(args.repeats):
+        t0 = time.perf_counter()
+        out = run(params, state0, jax.random.fold_in(key, r))
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    env_steps_per_s = args.envs * args.steps / best
+    print(json.dumps({
+        'metric': (f'env-steps/s/chip with CEM '
+                   f'{args.candidates}x{args.horizon} MPC planning '
+                   f'({args.task}, {args.envs} envs)'),
+        'value': round(env_steps_per_s, 1),
+        'unit': 'env-steps/s',
+        'vs_baseline': round(env_steps_per_s / 10000.0, 4),
+    }))
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -24,125 +24,11 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from . import collision
 from . import math as pm
 from . import model as M
 from . import smooth
-
-
-# --------------------------------------------------------------------------
-# Constraint impedance (solref / solimp), shared with the contact solver
-# --------------------------------------------------------------------------
-
-def impedance(solimp: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
-    """MuJoCo solimp impedance d(pos): dmin..dmax over `width` of violation."""
-    dmin, dmax, width, mid, power = (solimp[0], solimp[1], solimp[2],
-                                     solimp[3], solimp[4])
-    x = jnp.clip(jnp.abs(pos) / jnp.maximum(width, 1e-10), 0.0, 1.0)
-    lo = mid * (x / mid) ** power
-    hi = 1.0 - (1.0 - mid) * ((1.0 - x) / (1.0 - mid)) ** power
-    y = jnp.where(x < mid, lo, hi)
-    return dmin + y * (dmax - dmin)
-
-
-def kbi(solref: jnp.ndarray, solimp: jnp.ndarray, pos: jnp.ndarray):
-    """Stiffness k, damping b, impedance d for one constraint row."""
-    d = impedance(solimp, pos)
-    dmax = solimp[1]
-    timeconst, dampratio = solref[0], solref[1]
-    b = 2.0 / (dmax * timeconst)
-    k = d / (dmax * dmax * timeconst * timeconst * dampratio * dampratio)
-    return k, b, d
-
-
-# --------------------------------------------------------------------------
-# Joint-limit constraints (static count = number of limited scalar joints)
-# --------------------------------------------------------------------------
-
-def _limited_joints(m: M.Model) -> Tuple[int, ...]:
-    if m.opt.disableflags & M.DSBL_LIMIT:
-        return ()
-    return tuple(j for j in range(m.njnt)
-                 if m.jnt_limited[j] and m.jnt_type[j] in (M.SLIDE, M.HINGE))
-
-
-def limit_rows(m: M.Model, qpos: jnp.ndarray):
-    """Build limit-constraint rows: (dof index, sign, pos, solref, solimp).
-
-    One row per limited joint; the violated side is selected with `where`
-    so the row count is static.
-    """
-    joints = _limited_joints(m)
-    if not joints:
-        return None
-    dofs, signs, poss, solrefs, solimps = [], [], [], [], []
-    for j in joints:
-        qadr, dadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
-        lo, hi = m.jnt_range[j, 0], m.jnt_range[j, 1]
-        dist_lo = qpos[qadr] - lo
-        dist_hi = hi - qpos[qadr]
-        use_lo = dist_lo < dist_hi
-        signs.append(jnp.where(use_lo, 1.0, -1.0).astype(qpos.dtype))
-        poss.append(jnp.where(use_lo, dist_lo, dist_hi)
-                    - m.jnt_margin[j])
-        dofs.append(dadr)
-        solrefs.append(m.jnt_solref[j])
-        solimps.append(m.jnt_solimp[j])
-    return (tuple(dofs), jnp.stack(signs), jnp.stack(poss),
-            jnp.stack(solrefs), jnp.stack(solimps))
-
-
-def solve_limits(m: M.Model, qM_chol, qpos, qvel, qacc_smooth):
-    """Projected Gauss-Seidel on the soft limit constraints.
-
-    Returns qfrc_constraint (nv,). Unrolls to nothing when the model has no
-    limited joints (static branch).
-    """
-    rows = limit_rows(m, qpos)
-    dtype = qpos.dtype
-    if rows is None:
-        return jnp.zeros(m.nv, dtype)
-    dofs, signs, poss, solrefs, solimps = rows
-    nl = len(dofs)
-
-    # Jacobian J: (nl, nv), rows = +-e_dof
-    J = jnp.zeros((nl, m.nv), dtype)
-    for i, d in enumerate(dofs):
-        J = J.at[i, d].set(signs[i])
-
-    # A = J M^-1 J^T  (+ regularizer R from impedance)
-    MinvJT = jax.scipy.linalg.cho_solve(qM_chol, J.T)
-    A = J @ MinvJT
-
-    k = jnp.zeros(nl, dtype)
-    b = jnp.zeros(nl, dtype)
-    dimp = jnp.zeros(nl, dtype)
-    for i in range(nl):
-        ki, bi, di = kbi(solrefs[i], solimps[i], poss[i])
-        k = k.at[i].set(ki)
-        b = b.at[i].set(bi)
-        dimp = dimp.at[i].set(di)
-
-    active = (poss < 0.0).astype(dtype)
-    vel = J @ qvel
-    aref = -b * vel - k * poss
-    R = (1.0 - dimp) / jnp.maximum(dimp, 1e-8) * jnp.maximum(
-        jnp.diag(A), 1e-10)
-    Ad = A + jnp.diag(R)
-    rhs = (aref - J @ qacc_smooth) * active
-
-    diag = jnp.maximum(jnp.diag(Ad), 1e-10)
-
-    def pgs_iter(f, _):
-        for i in range(nl):
-            res = Ad[i] @ f - rhs[i]
-            fi = jnp.maximum(0.0, f[i] - res / diag[i])
-            f = f.at[i].set(fi * active[i])
-        return f, None
-
-    f0 = jnp.zeros(nl, dtype)
-    f, _ = jax.lax.scan(pgs_iter, f0, None,
-                        length=m.opt.solver_iterations)
-    return J.T @ f
+from . import solver as solver_mod
 
 
 # --------------------------------------------------------------------------
@@ -153,8 +39,10 @@ def forward(m: M.Model, state: M.State, ctrl: jnp.ndarray,
             contact_fn=None) -> M.Data:
     """Full forward pass: kinematics -> forces -> constrained qacc.
 
-    `contact_fn(m, data_partial, qM_chol, qacc_smooth) -> qfrc` optionally
-    adds contact constraint forces (installed by physics.collision).
+    Constraints = joint limits + frictional contacts, assembled into one
+    soft-constraint set and solved with fixed-iteration projected
+    Gauss-Seidel (physics.solver). Contact candidate pairs are static per
+    model (physics.collision), so the whole pass has fixed shapes.
     """
     meta = smooth.tree_meta(m)
     qpos, qvel = state.qpos, state.qvel
@@ -179,23 +67,32 @@ def forward(m: M.Model, state: M.State, ctrl: jnp.ndarray,
     qM_chol = jax.scipy.linalg.cho_factor(qM)
     qacc_smooth = jax.scipy.linalg.cho_solve(qM_chol, qfrc_smooth)
 
-    data = M.Data(
+    contact = None
+    if not (m.opt.disableflags & M.DSBL_CONTACT):
+        pairs = collision.candidate_pairs(
+            m, include_geom_geom=m.opt.enable_geom_geom_contacts)
+        if pairs:
+            contact = collision.detect(m, geom_xpos, geom_xmat, pairs)
+
+    cs = solver_mod.assemble(m, meta, qpos, qvel, cdof, contact)
+    qfrc_constraint, f_rows = solver_mod.solve(m, cs, qM_chol, qacc_smooth)
+    qacc = qacc_smooth + jax.scipy.linalg.cho_solve(qM_chol, qfrc_constraint)
+
+    n_con = len(contact.geom1) if contact is not None else 0
+    return M.Data(
         xpos=xpos, xquat=xquat, xipos=xipos, ximat=xmat,
         geom_xpos=geom_xpos, geom_xmat=geom_xmat, site_xpos=site_xpos,
         xanchor=xanchor, xaxis=xaxis, cdof=cdof, cvel=cvel,
         qM=qM, qfrc_bias=qfrc_bias, qfrc_passive=qfrc_passive,
         qfrc_actuator=qfrc_actuator,
-        qfrc_constraint=jnp.zeros(m.nv, qpos.dtype),
-        qacc=qacc_smooth, actuator_force=actuator_force)
-
-    qfrc_constraint = solve_limits(m, qM_chol, qpos, qvel, qacc_smooth)
-    if contact_fn is not None and not (m.opt.disableflags & M.DSBL_CONTACT):
-        qfrc_constraint = qfrc_constraint + contact_fn(
-            m, data, qM_chol, qacc_smooth + jax.scipy.linalg.cho_solve(
-                qM_chol, qfrc_constraint), qvel)
-
-    qacc = qacc_smooth + jax.scipy.linalg.cho_solve(qM_chol, qfrc_constraint)
-    return data.replace(qfrc_constraint=qfrc_constraint, qacc=qacc)
+        qfrc_constraint=qfrc_constraint,
+        qacc=qacc, actuator_force=actuator_force,
+        contact_dist=(contact.dist if contact is not None
+                      else jnp.zeros((0,), qpos.dtype)),
+        contact_pos=(contact.pos if contact is not None
+                     else jnp.zeros((0, 3), qpos.dtype)),
+        contact_force=solver_mod.contact_forces(cs, f_rows, n_con,
+                                                qpos.dtype))
 
 
 # --------------------------------------------------------------------------

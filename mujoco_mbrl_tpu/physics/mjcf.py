@@ -251,8 +251,12 @@ def parse(xml_string: str, dtype=np.float32) -> M.Model:
 
     compiler = root.find('compiler')
     angle_deg = True
-    if compiler is not None and compiler.get('angle') == 'radian':
-        angle_deg = False
+    settotalmass = None
+    if compiler is not None:
+        if compiler.get('angle') == 'radian':
+            angle_deg = False
+        if 'settotalmass' in compiler.attrib:
+            settotalmass = float(compiler.get('settotalmass'))
 
     # ---- option ----------------------------------------------------------
     timestep = 0.002
@@ -494,6 +498,16 @@ def parse(xml_string: str, dtype=np.float32) -> M.Model:
         else:
             qpos0[adr] = j['ref']
             qpos_spring[adr] = j['springref']
+
+    # ---- compiler settotalmass: rescale all masses/inertias ----------------
+    if settotalmass is not None:
+        total = sum(b.body_mass)
+        if total > 0:
+            scale = settotalmass / total
+            b.body_mass = [mm * scale for mm in b.body_mass]
+            b.body_first_moment = [fm * scale for fm in b.body_first_moment]
+            b.body_inertia_at_origin = [ii * scale
+                                        for ii in b.body_inertia_at_origin]
 
     # ---- body mass properties -> (mass, ipos, inertia about CoM) -----------
     body_mass = np.array(b.body_mass)

@@ -61,6 +61,11 @@ class Option:
     disableflags: int = struct.field(pytree_node=False, default=0)
     # Constraint solver controls (fixed-iteration, XLA-friendly).
     solver_iterations: int = struct.field(pytree_node=False, default=30)
+    # Geom-geom (non-plane) contact pairs: off by default — the planar
+    # locomotion suite filters them via conaffinity anyway; enable for
+    # models that need self-collision.
+    enable_geom_geom_contacts: bool = struct.field(pytree_node=False,
+                                                   default=False)
 
 
 @struct.dataclass
@@ -209,6 +214,11 @@ class Data:
     qfrc_constraint: jnp.ndarray  # (nv,)
     qacc: jnp.ndarray        # (nv,)
     actuator_force: jnp.ndarray  # (nu,)
+    # Contacts (fixed candidate count C per compiled model; see
+    # physics.collision.candidate_pairs for the geom pair ids).
+    contact_dist: jnp.ndarray   # (C,) signed distances
+    contact_pos: jnp.ndarray    # (C, 3)
+    contact_force: jnp.ndarray  # (C, 3) in contact frame (normal, t1, t2)
 
 
 def xmat_of(data: Data, model: Model) -> jnp.ndarray:
