@@ -61,6 +61,11 @@ def forward(m: M.Model, state: M.State, ctrl: jnp.ndarray,
     qfrc_spring = smooth.spring_force(m, qpos)
     qfrc_damping = smooth.damping_force(m, qvel)
     qfrc_passive = qfrc_spring + qfrc_damping
+    import numpy as np
+    if (float(np.asarray(m.opt.density)) > 0
+            or float(np.asarray(m.opt.viscosity)) > 0):
+        qfrc_passive = qfrc_passive + smooth.fluid_force(
+            m, xipos, xquat, cvel, cdof, meta)
     actuator_force, qfrc_actuator = smooth.actuation(m, qpos, qvel, ctrl)
 
     qfrc_smooth = qfrc_passive + qfrc_actuator - qfrc_bias

@@ -601,6 +601,22 @@ def parse(xml_string: str, dtype=np.float32) -> M.Model:
 
     import jax.numpy as jnp
 
+    # ---- fluid-model equivalent inertia boxes ------------------------------
+    # principal inertia via eigendecomposition; box half-size
+    # a_i = sqrt(3*(I_j + I_k - I_i) / (2*m)) (MuJoCo inertia-box model)
+    body_fluid_box = np.zeros((nbody, 3))
+    body_principal_mat = np.tile(np.eye(3), (nbody, 1, 1))
+    for i in range(nbody):
+        mm = body_mass[i]
+        if mm > 1e-12:
+            evals, evecs = np.linalg.eigh(body_inertia[i])
+            body_principal_mat[i] = evecs
+            for ax in range(3):
+                j, k = (ax + 1) % 3, (ax + 2) % 3
+                val = 3.0 * max(evals[j] + evals[k] - evals[ax], 1e-14) / \
+                    (2.0 * mm)
+                body_fluid_box[i, ax] = np.sqrt(val)
+
     def arr(x, shape=None):
         a = np.asarray(x, dtype=dtype)
         if shape is not None and a.size == 0:
@@ -670,6 +686,8 @@ def parse(xml_string: str, dtype=np.float32) -> M.Model:
         actuator_forcerange=arr([a['forcerange'] for a in acts], (nu, 2)),
         actuator_forcelimited=tuple(a['forcelimited'] for a in acts),
         actuator_biastype=tuple(a['biastype'] for a in acts),
+        body_fluid_box=arr(body_fluid_box),
+        body_principal_mat=arr(body_principal_mat),
         qpos0=arr(qpos0),
         qpos_spring=arr(qpos_spring),
     )

@@ -152,6 +152,10 @@ class Model:
     actuator_forcelimited: Tuple[bool, ...] = struct.field(pytree_node=False)
     actuator_biastype: Tuple[int, ...] = struct.field(pytree_node=False)
 
+    # --- fluid model (equivalent inertia boxes, principal frames) ---
+    body_fluid_box: jnp.ndarray     # (nbody, 3) half-sizes
+    body_principal_mat: jnp.ndarray  # (nbody, 3, 3) body->principal rotation
+
     # --- reference configuration ---
     qpos0: jnp.ndarray              # (nq,)
     qpos_spring: jnp.ndarray        # (nq,)

@@ -309,6 +309,68 @@ def damping_force(m: M.Model, qvel: jnp.ndarray) -> jnp.ndarray:
     return -m.dof_damping * qvel
 
 
+def fluid_force(m: M.Model, xipos, xquat, cvel, cdof,
+                meta: TreeMeta) -> jnp.ndarray:
+    """Viscous + density fluid forces (MuJoCo inertia-box model).
+
+    Per body, in the principal inertia frame with equivalent box half
+    sizes (b0,b1,b2):
+      viscosity eta: f = -3*pi*eta*d*v,  tau = -pi*eta*d^3*w,
+                     d = 2*(b0+b1+b2)/3
+      density rho:   f_i = -2*rho*b_j*b_k*|v_i|*v_i
+                     tau_i = -rho*b_i*(b_j^4 + b_k^4)*|w_i|*w_i / 2
+    Needed by the swimmer/fish domains (option density/viscosity).
+    """
+    import numpy as np
+    dtype = cvel.dtype
+    rho = m.opt.density
+    eta = m.opt.viscosity
+    qfrc = jnp.zeros(m.nv, dtype)
+    mass_np = np.asarray(m.body_mass)   # static gate (concrete at trace)
+
+    # spatial forces per body (world frame @ origin), then project to dofs
+    f_spatial = []
+    for b in range(m.nbody):
+        if float(mass_np[b]) <= 1e-12:
+            f_spatial.append(jnp.zeros(6, dtype))
+            continue
+        R_body = pm.quat_to_mat(xquat[b])
+        R = R_body @ m.body_principal_mat[b]   # world <- principal
+        com = xipos[b]
+        w_world = cvel[b, :3]
+        v_world = cvel[b, 3:] + jnp.cross(w_world, com) - m.opt.wind
+        v = R.T @ v_world
+        w = R.T @ w_world
+        box = m.body_fluid_box[b]
+        d_eq = 2.0 * (box[0] + box[1] + box[2]) / 3.0
+
+        f_loc = -3.0 * jnp.pi * eta * d_eq * v
+        t_loc = -jnp.pi * eta * d_eq ** 3 * w
+        b0, b1, b2 = box[0], box[1], box[2]
+        areas = jnp.stack([b1 * b2, b0 * b2, b0 * b1])
+        f_loc = f_loc - 2.0 * rho * areas * jnp.abs(v) * v
+        moments = jnp.stack([b0 * (b1 ** 4 + b2 ** 4),
+                             b1 * (b0 ** 4 + b2 ** 4),
+                             b2 * (b0 ** 4 + b1 ** 4)])
+        t_loc = t_loc - 0.5 * rho * moments * jnp.abs(w) * w
+
+        f_world = R @ f_loc
+        t_world = R @ t_loc
+        # spatial force about world origin
+        f_spatial.append(jnp.concatenate(
+            [t_world + jnp.cross(com, f_world), f_world]))
+
+    # accumulate subtree forces and project onto dofs (J^T f)
+    f_acc = list(f_spatial)
+    for b in range(m.nbody - 1, 0, -1):
+        p = m.body_parent[b]
+        f_acc[p] = f_acc[p] + f_acc[b]
+    for b in range(1, m.nbody):
+        for k in meta.body_dofs[b]:
+            qfrc = qfrc.at[k].add(cdof[k] @ f_acc[b])
+    return qfrc
+
+
 # --------------------------------------------------------------------------
 # Actuation
 # --------------------------------------------------------------------------
