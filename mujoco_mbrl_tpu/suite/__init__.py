@@ -21,7 +21,7 @@ from typing import Optional
 from . import base, control, randomizers, registry, rewards
 from .control import Environment, EnvState, TimeStep, flatten_observation
 
-_DOMAINS = ('acrobot', 'cartpole', 'cheetah', 'hopper', 'pendulum',
+_DOMAINS = ('acrobot', 'cartpole', 'cheetah', 'hopper', 'lqr', 'pendulum',
             'point_mass', 'reacher', 'swimmer', 'walker')
 
 

@@ -179,8 +179,14 @@ class Environment:
         reward = self._task.get_reward(m, phys, data, ctrl)
         step_count = state.step_count + 1
         is_last = step_count >= self._max_steps
-        step_type = jnp.where(is_last, LAST, MID).astype(jnp.int32)
         discount = jnp.ones((), phys.qpos.dtype)
+        # early termination (rl/control.py:115-121 get_termination protocol)
+        if hasattr(self._task, 'get_termination'):
+            terminated, term_discount = self._task.get_termination(
+                m, phys, data)
+            is_last = jnp.logical_or(is_last, terminated)
+            discount = jnp.where(terminated, term_discount, discount)
+        step_type = jnp.where(is_last, LAST, MID).astype(jnp.int32)
         new_state = EnvState(physics=phys, params=state.params,
                              step_count=step_count)
         return new_state, TimeStep(step_type=step_type,
