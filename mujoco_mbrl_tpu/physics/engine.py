@@ -61,6 +61,9 @@ def forward(m: M.Model, state: M.State, ctrl: jnp.ndarray,
     qfrc_spring = smooth.spring_force(m, qpos)
     qfrc_damping = smooth.damping_force(m, qvel)
     qfrc_passive = qfrc_spring + qfrc_damping
+    if m.ntendon:
+        qfrc_passive = qfrc_passive + smooth.tendon_passive_force(
+            m, qpos, qvel)
     import numpy as np
     if (float(np.asarray(m.opt.density)) > 0
             or float(np.asarray(m.opt.viscosity)) > 0):
@@ -79,7 +82,8 @@ def forward(m: M.Model, state: M.State, ctrl: jnp.ndarray,
         if pairs:
             contact = collision.detect(m, geom_xpos, geom_xmat, pairs)
 
-    cs = solver_mod.assemble(m, meta, qpos, qvel, cdof, contact)
+    cs = solver_mod.assemble(m, meta, qpos, qvel, cdof, contact,
+                             site_xpos=site_xpos)
     qfrc_constraint, f_rows = solver_mod.solve(m, cs, qM_chol, qacc_smooth)
     qacc = qacc_smooth + jax.scipy.linalg.cho_solve(qM_chol, qfrc_constraint)
 

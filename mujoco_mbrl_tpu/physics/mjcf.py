@@ -298,6 +298,8 @@ def parse(xml_string: str, dtype=np.float32) -> M.Model:
     # ---- body tree -------------------------------------------------------
     def add_geom(attrs: Dict[str, str], body_id: int):
         gtype = _GEOM_TYPES[attrs.get('type', 'sphere')]
+        if 'fromto' in attrs and gtype == M.SPHERE:
+            gtype = M.CAPSULE   # fromto implies an elongated geom
         size_in = _floats(attrs['size']) if 'size' in attrs else np.zeros(1)
         size = np.zeros(3)
         size[:len(size_in)] = size_in
@@ -398,6 +400,7 @@ def parse(xml_string: str, dtype=np.float32) -> M.Model:
             if jtype == M.HINGE else float(attrs.get('ref', 0.0)),
             damping=float(attrs.get('damping', 0.0)),
             armature=float(attrs.get('armature', 0.0)),
+            frictionloss=float(attrs.get('frictionloss', 0.0)),
             margin=float(attrs.get('margin', 0.0)),
         ))
 
@@ -422,6 +425,12 @@ def parse(xml_string: str, dtype=np.float32) -> M.Model:
                                       child.attrib.get('class', cls))
             if tag == 'joint':
                 add_joint(cattrs, body_id)
+            elif tag == 'freejoint':
+                cattrs = dict(cattrs)
+                cattrs['type'] = 'free'
+                # freejoint ignores all defaults except name
+                add_joint({'type': 'free', 'name': cattrs.get('name', '')},
+                          body_id)
             elif tag == 'geom':
                 add_geom(cattrs, body_id)
             elif tag == 'site':
@@ -476,12 +485,13 @@ def parse(xml_string: str, dtype=np.float32) -> M.Model:
         jnt_dofadr.append(nv)
         nq += _QPOS_WIDTH[j['type']]
         nv += _DOF_WIDTH[j['type']]
-    dof_jnt, dof_damping, dof_armature = [], [], []
+    dof_jnt, dof_damping, dof_armature, dof_frictionloss = [], [], [], []
     for ji, j in enumerate(b.jnt):
         for _ in range(_DOF_WIDTH[j['type']]):
             dof_jnt.append(ji)
             dof_damping.append(j['damping'])
             dof_armature.append(j['armature'])
+            dof_frictionloss.append(j['frictionloss'])
 
     # ---- qpos0 / qpos_spring -----------------------------------------------
     qpos0 = np.zeros(nq)
@@ -525,23 +535,65 @@ def parse(xml_string: str, dtype=np.float32) -> M.Model:
             body_inertia[i] = (b.body_inertia_at_origin[i]
                                - m_ * (cx @ cx.T))
 
-    # ---- tendons (fixed) ----------------------------------------------------
+    # ---- tendons -------------------------------------------------------------
     tendon_names: Dict[str, int] = {}
     tendon_rows: List[np.ndarray] = []
+    tendon_stiffness: List[float] = []
+    tendon_damping: List[float] = []
+    tendon_jnt: List[tuple] = []
+    spatial_tendons: List[tuple] = []
     tendon_el = root.find('tendon')
     if tendon_el is not None:
         for fx in tendon_el.findall('fixed'):
+            attrs = defaults.resolve('fixed', fx.attrib,
+                                     fx.attrib.get('class'))
             row = np.zeros(nv)
+            pairs = []
             for jref in fx.findall('joint'):
                 ji = b.jnt_names[jref.get('joint')]
-                row[jnt_dofadr[ji]] = float(jref.get('coef'))
-            name = fx.get('name')
+                coef = float(jref.get('coef'))
+                row[jnt_dofadr[ji]] = coef
+                pairs.append((ji, coef))
+            name = attrs.get('name')
             if name:
                 tendon_names[name] = len(tendon_rows)
             tendon_rows.append(row)
+            tendon_stiffness.append(float(attrs.get('stiffness', 0.0)))
+            tendon_damping.append(float(attrs.get('damping', 0.0)))
+            tendon_jnt.append(tuple(pairs))
+        for sp in tendon_el.findall('spatial'):
+            attrs = defaults.resolve('spatial', sp.attrib,
+                                     sp.attrib.get('class'))
+            sites = [b.site_names[s.get('site')]
+                     for s in sp.findall('site')]
+            if len(sites) != 2:
+                continue  # via-point tendons unsupported (unused by suite)
+            limited = attrs.get('limited', 'false') in ('true', '1')
+            rng = (_floats(attrs['range']) if 'range' in attrs
+                   else np.zeros(2))
+            spatial_tendons.append((sites[0], sites[1], limited,
+                                    float(rng[0]), float(rng[1])))
     ntendon = len(tendon_rows)
     tendon_moment = (np.stack(tendon_rows) if ntendon
                      else np.zeros((0, nv)))
+
+    # ---- equality constraints (tendon length = 0, soft) --------------------
+    eq_tendon: List[tuple] = []
+    equality_el = root.find('equality')
+    if equality_el is not None:
+        for eq in equality_el.findall('tendon'):
+            attrs = defaults.resolve('equality', eq.attrib, None)
+            attrs.update(eq.attrib)
+            t1 = tendon_names[attrs['tendon1']]
+            solref = _DEFAULT_SOLREF.copy()
+            if 'solref' in attrs:
+                solref[:] = _floats(attrs['solref'])[:2]
+            solimp = _DEFAULT_SOLIMP.copy()
+            if 'solimp' in attrs:
+                si = _floats(attrs['solimp'])
+                solimp[:len(si)] = si
+            eq_tendon.append((t1, tuple(solref.tolist()),
+                              tuple(solimp.tolist())))
 
     # ---- actuators -----------------------------------------------------------
     act_names: Dict[str, int] = {}
@@ -663,6 +715,7 @@ def parse(xml_string: str, dtype=np.float32) -> M.Model:
         jnt_margin=arr([j['margin'] for j in b.jnt], (njnt,)),
         dof_damping=arr(dof_damping, (nv,)),
         dof_armature=arr(dof_armature, (nv,)),
+        dof_frictionloss=arr(dof_frictionloss, (nv,)),
         geom_pos=arr([g['pos'] for g in b.geoms], (len(b.geoms), 3)),
         geom_quat=arr([g['quat'] for g in b.geoms], (len(b.geoms), 4)),
         geom_size=arr([g['size'] for g in b.geoms], (len(b.geoms), 3)),
@@ -679,6 +732,11 @@ def parse(xml_string: str, dtype=np.float32) -> M.Model:
         site_pos=arr([s['pos'] for s in b.sites], (len(b.sites), 3)),
         site_quat=arr([s['quat'] for s in b.sites], (len(b.sites), 4)),
         tendon_moment=arr(tendon_moment, (ntendon, nv)),
+        tendon_stiffness=arr(tendon_stiffness, (ntendon,)),
+        tendon_damping=arr(tendon_damping, (ntendon,)),
+        tendon_jnt=tuple(tendon_jnt),
+        spatial_tendons=tuple(spatial_tendons),
+        eq_tendon=tuple(eq_tendon),
         actuator_gear=arr([a['gear'] for a in acts], (nu,)),
         actuator_ctrlrange=arr([a['ctrlrange'] for a in acts], (nu, 2)),
         actuator_gainprm=arr([a['gainprm'] for a in acts], (nu, 3)),

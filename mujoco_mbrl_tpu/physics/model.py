@@ -121,6 +121,7 @@ class Model:
     # --- dofs ---
     dof_damping: jnp.ndarray        # (nv,)
     dof_armature: jnp.ndarray       # (nv,)
+    dof_frictionloss: jnp.ndarray   # (nv,)
 
     # --- geoms ---
     geom_pos: jnp.ndarray           # (ngeom, 3)
@@ -140,8 +141,21 @@ class Model:
     site_pos: jnp.ndarray           # (nsite, 3)
     site_quat: jnp.ndarray          # (nsite, 4)
 
-    # --- tendons (fixed tendons only: linear maps over qvel) ---
-    tendon_moment: jnp.ndarray      # (ntendon, nv) d length / d qpos
+    # --- tendons ---
+    # fixed tendons: linear couplings over scalar joints
+    tendon_moment: jnp.ndarray      # (ntendon, nv) d length / d qvel
+    tendon_stiffness: jnp.ndarray   # (ntendon,)
+    tendon_damping: jnp.ndarray     # (ntendon,)
+    # static (joint, coef) pairs per fixed tendon, for length computation
+    tendon_jnt: Tuple[Tuple[Tuple[int, float], ...], ...] = struct.field(
+        pytree_node=False)
+    # spatial tendons (site-to-site strings): (site1, site2, limited,
+    # range_lo, range_hi) — used for length-limit constraints
+    spatial_tendons: Tuple[Tuple[int, int, bool, float, float], ...] = \
+        struct.field(pytree_node=False)
+    # soft tendon-equality constraints: (tendon_id, solref, solimp)
+    eq_tendon: Tuple[Tuple[int, Tuple[float, ...], Tuple[float, ...]], ...] \
+        = struct.field(pytree_node=False)
 
     # --- actuators ---
     actuator_gear: jnp.ndarray      # (nu,)

@@ -309,6 +309,31 @@ def damping_force(m: M.Model, qvel: jnp.ndarray) -> jnp.ndarray:
     return -m.dof_damping * qvel
 
 
+def fixed_tendon_length(m: M.Model, qpos: jnp.ndarray,
+                        t: int) -> jnp.ndarray:
+    """Length of fixed tendon t: sum(coef * qpos[jnt]) over scalar joints."""
+    length = jnp.zeros((), qpos.dtype)
+    for ji, coef in m.tendon_jnt[t]:
+        length = length + coef * qpos[m.jnt_qposadr[ji]]
+    return length
+
+
+def tendon_passive_force(m: M.Model, qpos, qvel) -> jnp.ndarray:
+    """Fixed-tendon spring/damper forces (fish fins_sym)."""
+    qfrc = jnp.zeros(m.nv, qpos.dtype)
+    import numpy as np
+    stiff_np = np.asarray(m.tendon_stiffness)
+    damp_np = np.asarray(m.tendon_damping)
+    for t in range(m.ntendon):
+        if float(stiff_np[t]) == 0.0 and float(damp_np[t]) == 0.0:
+            continue
+        length = fixed_tendon_length(m, qpos, t)
+        vel = m.tendon_moment[t] @ qvel
+        force = -m.tendon_stiffness[t] * length - m.tendon_damping[t] * vel
+        qfrc = qfrc + m.tendon_moment[t] * force
+    return qfrc
+
+
 def fluid_force(m: M.Model, xipos, xquat, cvel, cdof,
                 meta: TreeMeta) -> jnp.ndarray:
     """Viscous + density fluid forces (MuJoCo inertia-box model).
@@ -398,8 +423,7 @@ def actuation(m: M.Model, qpos, qvel, ctrl) -> Tuple[jnp.ndarray, jnp.ndarray]:
         else:  # fixed tendon
             t = m.actuator_trnid[u]
             row = m.tendon_moment[t]
-            # fixed tendons only couple slide/hinge dofs: dof adr == qpos adr
-            length = gear * (row @ qpos[:m.nv])
+            length = gear * fixed_tendon_length(m, qpos, t)
             velocity = gear * (row @ qvel)
 
         force = m.actuator_gainprm[u, 0] * c

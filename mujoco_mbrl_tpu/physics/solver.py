@@ -59,13 +59,15 @@ def kbi(solref, solimp, pos, timestep):
 class ConstraintSet:
     """Assembled rows: J (nr, nv), aref, R, plus block structure."""
 
-    def __init__(self, J, aref, R, active, blocks, mu):
+    def __init__(self, J, aref, R, active, blocks, mu,
+                 friction_bounds=()):
         self.J = J
         self.aref = aref
         self.R = R
         self.active = active
-        self.blocks = blocks      # list of ('limit', i) or ('contact', i0)
+        self.blocks = blocks      # ('limit'|'friction'|'contact', row idx)
         self.mu = mu              # (n_contacts,) slide friction
+        self.friction_bounds = friction_bounds  # per 'friction' block
 
 
 def _limited_joints(m: M.Model) -> Tuple[int, ...]:
@@ -86,8 +88,11 @@ def _point_jacobian_row(m: M.Model, meta, cdof, body: int,
 
 
 def assemble(m: M.Model, meta, qpos, qvel, cdof,
-             contact: Optional[Contact]) -> Optional[ConstraintSet]:
+             contact: Optional[Contact],
+             site_xpos: Optional[jnp.ndarray] = None) -> \
+        Optional[ConstraintSet]:
     """Build the full constraint row set for one configuration."""
+    import numpy as np
     dtype = qpos.dtype
     nv = m.nv
     h = m.opt.timestep
@@ -97,6 +102,62 @@ def assemble(m: M.Model, meta, qpos, qvel, cdof,
     rows_active: List[jnp.ndarray] = []
     blocks = []
     mus = []
+    friction_bounds = []
+
+    # ---- dof friction loss (finger spinner hinge) --------------------------
+    fl_np = np.asarray(m.dof_frictionloss)
+    for k in range(nv):
+        if float(fl_np[k]) == 0.0:
+            continue
+        Jrow = jnp.zeros((nv,), dtype).at[k].set(1.0)
+        kk, bb, dd = kbi(jnp.asarray([0.02, 1.0], dtype),
+                         jnp.asarray([0.9, 0.95, 0.001, 0.5, 2.0], dtype),
+                         jnp.zeros((), dtype), h)
+        blocks.append(('friction', len(rows_J)))
+        friction_bounds.append(m.dof_frictionloss[k])
+        rows_J.append(Jrow)
+        rows_aref.append(-bb * qvel[k])
+        rows_R.append((1.0 - dd) / dd)
+        rows_active.append(jnp.ones((), dtype))
+
+    # ---- tendon equality constraints (manipulator hand coupling) -----------
+    for (t, solref, solimp) in m.eq_tendon:
+        from . import smooth as _smooth
+        length = _smooth.fixed_tendon_length(m, qpos, t)
+        Jrow = m.tendon_moment[t]
+        kk, bb, dd = kbi(jnp.asarray(solref, dtype),
+                         jnp.asarray(solimp, dtype), length, h)
+        vel = Jrow @ qvel
+        blocks.append(('equality', len(rows_J)))
+        rows_J.append(Jrow)
+        rows_aref.append(-bb * vel - kk * length)
+        rows_R.append((1.0 - dd) / dd)
+        rows_active.append(jnp.ones((), dtype))
+
+    # ---- spatial tendon length limits (ball_in_cup string) -----------------
+    for (s1, s2, limited, lo, hi) in m.spatial_tendons:
+        if not limited or site_xpos is None:
+            continue
+        p1, p2 = site_xpos[s1], site_xpos[s2]
+        diff = p1 - p2
+        length = jnp.linalg.norm(diff)
+        u = diff / jnp.maximum(length, 1e-9)
+        b1 = m.site_body[s1]
+        b2 = m.site_body[s2]
+        # dL/dq = u.(J1 - J2); constraint J = -dL/dq so positive force
+        # shortens the tendon
+        Jrow = -(u @ _point_jacobian_row(m, meta, cdof, b1, p1, nv)
+                 - u @ _point_jacobian_row(m, meta, cdof, b2, p2, nv))
+        pos = hi - length           # negative when string over-stretched
+        kk, bb, dd = kbi(jnp.asarray([0.02, 1.0], dtype),
+                         jnp.asarray([0.9, 0.95, 0.001, 0.5, 2.0], dtype),
+                         jnp.minimum(pos, 0.0), h)
+        vel = Jrow @ qvel
+        blocks.append(('limit', len(rows_J)))
+        rows_J.append(Jrow)
+        rows_aref.append(-bb * vel - kk * jnp.minimum(pos, 0.0))
+        rows_R.append((1.0 - dd) / dd)
+        rows_active.append((pos < 0.0).astype(dtype))
 
     # ---- joint limits -----------------------------------------------------
     for j in _limited_joints(m):
@@ -132,7 +193,11 @@ def assemble(m: M.Model, meta, qpos, qvel, cdof,
             vel = Jc @ qvel
             active = (contact.dist[c] < 0.0).astype(dtype)
             blocks.append(('contact', len(rows_J)))
-            mus.append(contact.friction[c, 0])
+            # condim 1 => frictionless contact (mjModel geom_condim max rule)
+            cdim = max(m.geom_condim[contact.geom1[c]],
+                       m.geom_condim[contact.geom2[c]])
+            mus.append(contact.friction[c, 0] if cdim >= 3
+                       else jnp.zeros((), dtype))
             # normal row
             rows_J.append(Jc[0])
             rows_aref.append(-b * vel[0] - k * pos)
@@ -153,7 +218,8 @@ def assemble(m: M.Model, meta, qpos, qvel, cdof,
     Rscale = jnp.stack(rows_R)
     active = jnp.stack(rows_active)
     mu = (jnp.stack(mus) if mus else jnp.zeros((0,), dtype))
-    return ConstraintSet(J, aref, Rscale, active, blocks, mu)
+    return ConstraintSet(J, aref, Rscale, active, blocks, mu,
+                         tuple(friction_bounds))
 
 
 def solve(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
@@ -174,11 +240,15 @@ def solve(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
 
     n_rows = cs.J.shape[0]
     mu_of_block = {}
-    ci = 0
+    fl_of_block = {}
+    ci = fi_ = 0
     for kind, i0 in cs.blocks:
         if kind == 'contact':
             mu_of_block[i0] = cs.mu[ci]
             ci += 1
+        elif kind == 'friction':
+            fl_of_block[i0] = cs.friction_bounds[fi_]
+            fi_ += 1
 
     def sweep(_, f):
         for kind, i0 in cs.blocks:
@@ -186,6 +256,14 @@ def solve(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
                 res = Ad[i0] @ f - rhs[i0]
                 fi = jnp.maximum(0.0, f[i0] - res / diag[i0])
                 f = f.at[i0].set(fi * cs.active[i0])
+            elif kind == 'friction':
+                res = Ad[i0] @ f - rhs[i0]
+                bound = fl_of_block[i0]
+                fi = jnp.clip(f[i0] - res / diag[i0], -bound, bound)
+                f = f.at[i0].set(fi * cs.active[i0])
+            elif kind == 'equality':
+                res = Ad[i0] @ f - rhs[i0]
+                f = f.at[i0].set(f[i0] - res / diag[i0])
             else:
                 mu = mu_of_block[i0]
                 # normal

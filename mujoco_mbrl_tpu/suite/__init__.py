@@ -21,8 +21,9 @@ from typing import Optional
 from . import base, control, randomizers, registry, rewards
 from .control import Environment, EnvState, TimeStep, flatten_observation
 
-_DOMAINS = ('acrobot', 'cartpole', 'cheetah', 'hopper', 'lqr', 'pendulum',
-            'point_mass', 'reacher', 'swimmer', 'walker')
+_DOMAINS = ('acrobot', 'ball_in_cup', 'cartpole', 'cheetah', 'finger',
+            'fish', 'hopper', 'humanoid', 'lqr', 'pendulum', 'point_mass',
+            'reacher', 'swimmer', 'walker')
 
 
 def _get_domain(domain_name: str):

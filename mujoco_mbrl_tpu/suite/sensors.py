@@ -45,6 +45,17 @@ def subtree_linvel(m: M.Model, data: M.Data, root: int) -> jnp.ndarray:
     return total_p / jnp.maximum(total_m, 1e-12)
 
 
+def subtree_com(m: M.Model, data: M.Data, root: int) -> jnp.ndarray:
+    """Center of mass of the kinematic subtree (mjData.subtree_com)."""
+    bodies = subtree_bodies(m, root)
+    total_p = jnp.zeros(3, data.xipos.dtype)
+    total_m = 0.0
+    for b in bodies:
+        total_p = total_p + m.body_mass[b] * data.xipos[b]
+        total_m = total_m + m.body_mass[b]
+    return total_p / jnp.maximum(total_m, 1e-12)
+
+
 def contact_layout(m: M.Model) -> List[Tuple[int, int]]:
     """Static per-contact (geom1, geom2) list matching collision.detect's
     emission order for this model's candidate pairs."""
