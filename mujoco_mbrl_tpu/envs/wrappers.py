@@ -42,8 +42,7 @@ class EnvWrapper:
         ts_obs = env.observation_spec()
         self.observation_dim = int(sum(np.prod(s.shape) or 1
                                        for s in ts_obs.values()))
-        if not hasattr(type(self), 'state_dim') or \
-                getattr(type(self), 'state_dim', None) is None:
+        if getattr(self, 'state_dim', None) is None:
             self.state_dim = env.model.nq + env.model.nv
 
     # ------------------------------------------------------------------
@@ -75,10 +74,26 @@ class EnvWrapper:
         return self._env.observation_spec()
 
     # -- state featurization (identity by default) ----------------------
-    def get_state(self, env_state: EnvState) -> jnp.ndarray:
-        """Flat physics state [qpos, qvel] (env_wrappers.py:36-39)."""
+    def get_state(self, env_state: EnvState, data=None) -> jnp.ndarray:
+        """Flat physics state [qpos, qvel] (env_wrappers.py:36-39).
+
+        `data` is the forward-dynamics product for the current state;
+        per-domain wrappers use it for engineered features (speed, heights,
+        touch) mirroring env_wrappers.py:288-294, 529-536 etc.
+        """
         return jnp.concatenate([env_state.physics.qpos,
                                 env_state.physics.qvel])
+
+    def _observe_full(self, env_state: EnvState):
+        """(state_vec, obs_vec) for the current configuration."""
+        from ..physics import engine
+        env = self._env
+        m = env._model_with(env_state.params)
+        data = engine.forward(
+            m, env_state.physics,
+            jnp.zeros((m.nu,), env_state.physics.qpos.dtype))
+        obs = env.task.get_observation(m, env_state.physics, data)
+        return self.get_state(env_state, data), flatten_observation(obs)
 
     def state_to_physics(self, state: jnp.ndarray):
         """Inverse of get_state for state teleporting; (qpos, qvel)."""
@@ -142,33 +157,22 @@ class EnvWrapper:
                         qvel=qvel.astype(env_state.physics.qvel.dtype)))
             if goal_state is not None:
                 env_state = self.apply_goal(env_state, goal_state)
-            if goal_state is not None or initial_state is not None:
-                obs0 = env._observe(env._model_with(env_state.params),
-                                    env_state.physics, env_state.params)
-            else:
-                obs0 = ts.observation
 
-            s0 = self.get_state(env_state)
-            o0 = flatten_observation(obs0)
+            s0, o0 = self._observe_full(env_state)
             carry0 = policy_init() if policy_init is not None else 0
 
             def step_fn(carry, inp):
-                env_state, pcarry = carry
+                env_state, pcarry, state_vec, obs_vec = carry
                 t, kt = inp
-                state_vec = self.get_state(env_state)
-                obs_vec = flatten_observation(
-                    env._observe(env._model_with(env_state.params),
-                                 env_state.physics, env_state.params))
                 action, pcarry = pol(kt, t, state_vec, obs_vec, pcarry)
                 env_state, ts = env.step(env_state, action)
-                out = (self.get_state(env_state),
-                       flatten_observation(ts.observation),
-                       action, ts.reward)
-                return (env_state, pcarry), out
+                s_next, o_next = self._observe_full(env_state)
+                out = (s_next, o_next, action, ts.reward)
+                return (env_state, pcarry, s_next, o_next), out
 
             keys = jax.random.split(kroll, num_steps)
-            (_, _), (states, obs, actions, rewards) = jax.lax.scan(
-                step_fn, (env_state, carry0),
+            _, (states, obs, actions, rewards) = jax.lax.scan(
+                step_fn, (env_state, carry0, s0, o0),
                 (jnp.arange(num_steps), keys))
 
             states = jnp.concatenate([s0[None], states], 0)
@@ -345,12 +349,295 @@ class Pendulum(EnvWrapper):
         return w
 
 
+class Cheetah(EnvWrapper):
+    """env_wrappers.py:252-308: drop x, append speed + torso height."""
+    state_dim = 18 - 1 + 2
+    observation_dim = 17
+
+    def get_state(self, env_state, data=None):
+        from ..suite import sensors
+        m = self._env.model
+        phys = env_state.physics
+        base = jnp.concatenate([phys.qpos[1:], phys.qvel])
+        if data is None:
+            return jnp.concatenate([base, jnp.zeros(2)])
+        torso = m.name2id('body', 'torso')
+        speed = sensors.subtree_linvel(m, data, torso)[0]
+        height = sensors.subtree_com(m, data, torso)[2]
+        return jnp.concatenate([base, speed[None], height[None]])
+
+    def sample_state(self, key):
+        ks = jax.random.split(key, 10)
+        st = jnp.zeros(18)
+        st = st.at[1].set(jax.random.uniform(ks[0], (), minval=-.2,
+                                             maxval=.2))
+        # torso angle distribution conditioned on height
+        # (env_wrappers.py:258-266), approximated by the unconditional mix
+        st = st.at[2].set(jax.random.uniform(ks[1], (), minval=-3.14,
+                                             maxval=3.14))
+        ranges = [(-0.5236, 1.0472), (-0.8727, 0.8727), (-4.0143, 0.8727),
+                  (-0.9948, 0.0070), (-1.2217, 0.8727), (-0.4887, 0.4887)]
+        for i, (lo, hi) in enumerate(ranges):
+            st = st.at[3 + i].set(jax.random.uniform(ks[2 + i], (),
+                                                     minval=lo, maxval=hi))
+        st = st.at[9:].set(jax.random.uniform(ks[8], (9,), minval=-3,
+                                              maxval=3))
+        return st
+
+    def get_goal_weights(self):
+        w = jnp.zeros(self.state_dim)
+        w = w.at[17].set(self._state_penalty)
+        w = w.at[18].set(self._state_penalty / 2.0)
+        return w
+
+    def set_goal(self, key):
+        g = jnp.zeros(self.state_dim)
+        g = g.at[-2].set(2.0)   # target speed
+        g = g.at[-1].set(0.4)   # target torso height
+        return g
+
+
+class Walker(EnvWrapper):
+    """env_wrappers.py:506-556: drop x, append upright/height/speed."""
+    state_dim = 18 - 1 + 3
+    observation_dim = 24
+
+    def get_state(self, env_state, data=None):
+        from ..suite import sensors
+        m = self._env.model
+        phys = env_state.physics
+        base = jnp.concatenate([phys.qpos[1:], phys.qvel])
+        if data is None:
+            return jnp.concatenate([base, jnp.zeros(3)])
+        torso = m.name2id('body', 'torso')
+        upright = data.ximat[torso, 2, 2]
+        height = data.xpos[torso, 2]
+        speed = sensors.subtree_linvel(m, data, torso)[0]
+        return jnp.concatenate([base, upright[None], height[None],
+                                speed[None]])
+
+    def sample_state(self, key):
+        ks = jax.random.split(key, 6)
+        st = jnp.zeros(18)
+        st = st.at[2].set(jax.random.uniform(ks[0], (), minval=-.1,
+                                             maxval=.1))
+        hip = jax.random.uniform(ks[1], (), minval=-.15, maxval=.15)
+        st = st.at[3].set(hip)
+        st = st.at[4].set(jax.random.uniform(ks[2], (), minval=-.3,
+                                             maxval=0.))
+        st = st.at[5].set(jax.random.uniform(ks[3], (), minval=-.1,
+                                             maxval=.1))
+        st = st.at[6].set(-hip)
+        st = st.at[7].set(jax.random.uniform(ks[4], (), minval=-.3,
+                                             maxval=0.))
+        st = st.at[8].set(jax.random.uniform(ks[5], (), minval=-.1,
+                                             maxval=.1))
+        return st
+
+    def get_goal_weights(self):
+        w = jnp.zeros(self.state_dim)
+        return w.at[-3:].set(self._state_penalty)
+
+    def set_goal(self, key):
+        g = jnp.zeros(self.state_dim)
+        g = g.at[-3].set(1.0)   # upright
+        g = g.at[-2].set(1.3)   # height
+        g = g.at[-1].set(3.0)   # speed
+        return g
+
+
+class Hopper(EnvWrapper):
+    """env_wrappers.py:557-592: drop x, append touch/height/speed."""
+    state_dim = 14 - 1 + 4
+    observation_dim = 15
+
+    def get_state(self, env_state, data=None):
+        from ..suite import sensors
+        m = self._env.model
+        phys = env_state.physics
+        base = jnp.concatenate([phys.qpos[1:], phys.qvel])
+        if data is None:
+            return jnp.concatenate([base, jnp.zeros(4)])
+        foot_geom = m.name2id('geom', 'foot')
+        toe = m.name2id('site', 'touch_toe')
+        heel = m.name2id('site', 'touch_heel')
+        touch = jnp.log1p(jnp.stack([
+            sensors.touch(m, data, toe, foot_geom),
+            sensors.touch(m, data, heel, foot_geom)]))
+        torso = m.name2id('body', 'torso')
+        foot = m.name2id('body', 'foot')
+        height = data.xipos[torso, 2] - data.xipos[foot, 2]
+        speed = sensors.subtree_linvel(m, data, torso)[0]
+        return jnp.concatenate([base, touch, height[None], speed[None]])
+
+    def sample_state(self, key):
+        ks = jax.random.split(key, 6)
+        st = jnp.zeros(14)
+        st = st.at[1].set(-0.078789)
+        for i, (lo, hi) in enumerate([(-.01, .01), (-.01, .01), (-.01, .01),
+                                      (.1, .12), (-.01, .01)]):
+            st = st.at[2 + i].set(jax.random.uniform(ks[i], (), minval=lo,
+                                                     maxval=hi))
+        st = st.at[7:].set(jax.random.uniform(ks[5], (7,), minval=-.01,
+                                              maxval=.01))
+        return st
+
+    def get_goal_weights(self):
+        w = jnp.zeros(self.state_dim)
+        w = w.at[-2].set(self._state_penalty / 2.0)
+        return w.at[-1].set(self._state_penalty)
+
+    def set_goal(self, key):
+        g = jnp.zeros(self.state_dim)
+        g = g.at[-2].set(0.9)   # height
+        return g.at[-1].set(1.0)  # speed
+
+
+class Swimmer(EnvWrapper):
+    """env_wrappers.py:470-504: append head orientation (xmat row)."""
+    state_dim = None  # nq + nv + 2, set in __init__
+
+    def __init__(self, env, env_name, task_name):
+        self.state_dim = env.model.nq + env.model.nv + 2
+        super().__init__(env, env_name, task_name)
+
+    def get_state(self, env_state, data=None):
+        m = self._env.model
+        phys = env_state.physics
+        base = jnp.concatenate([phys.qpos, phys.qvel])
+        if data is None:
+            return jnp.concatenate([base, jnp.zeros(2)])
+        head = m.name2id('body', 'head')
+        return jnp.concatenate([base, data.ximat[head, 0, :2]])
+
+    def sample_state(self, key):
+        st = jnp.zeros(self._env.model.nq + self._env.model.nv)
+        return st.at[2].set(jax.random.uniform(key, (), minval=-3,
+                                               maxval=3))
+
+    def get_goal_weights(self):
+        w = jnp.zeros(self.state_dim)
+        w = w.at[0:1].set(10 * self._state_penalty)
+        return w.at[5:-2].set(self._state_penalty)
+
+    def set_goal(self, key):
+        # aim at a random target position (the task's own target params
+        # carry the actual geom location)
+        target = jax.random.uniform(key, (2,), minval=-.5, maxval=.5)
+        g = jnp.zeros(self.state_dim)
+        return g.at[0:2].set(target)
+
+
+class Humanoid(EnvWrapper):
+    """env_wrappers.py:345-468: Tassa-style CoM/foot penalty features."""
+    state_dim = 55 + 5
+    observation_dim = 67
+
+    def get_state(self, env_state, data=None):
+        from ..suite import sensors
+        m = self._env.model
+        phys = env_state.physics
+        base = jnp.concatenate([phys.qpos, phys.qvel])
+        if data is None:
+            return jnp.concatenate([base, jnp.zeros(5)])
+        torso = m.name2id('body', 'torso')
+        rfoot = data.xpos[m.name2id('body', 'right_foot')]
+        lfoot = data.xpos[m.name2id('body', 'left_foot')]
+        com = sensors.subtree_com(m, data, torso)
+        ave_foot = (rfoot + lfoot) / 2.0
+        above_feet = ave_foot + jnp.array([0.0, 0.0, 1.3])
+        torso_pos = data.xpos[torso]
+        p1 = jnp.linalg.norm(com[:2] - ave_foot[:2])     # Tassa term 1
+        p2 = jnp.linalg.norm(com[:2] - torso_pos[:2])    # Tassa term 2
+        p3 = jnp.linalg.norm(torso_pos[1:] - above_feet[1:])
+        com_vel = sensors.subtree_linvel(m, data, torso)[:2]
+        return jnp.concatenate([base, p1[None], p2[None], p3[None],
+                                com_vel])
+
+    def sample_action(self, key, batch_shape=()):
+        """Gaussian torques with legs-only actuation
+        (env_wrappers.py:424-435)."""
+        a = 0.4 * jax.random.normal(
+            key, tuple(batch_shape) + (self.action_dim,))
+        return a.at[..., 3:-6].set(0.0)
+
+    def sample_state(self, key):
+        ks = jax.random.split(key, 21)
+        st = jnp.zeros(55)
+        st = st.at[2].set(1.3)
+        ranges = [(-0.7854, 0.7854), (-1.3089, 0.5236), (-0.6109, 0.6109),
+                  (-0.4363, 0.0873), (-1.0472, 0.6109), (-1.9199, 0.3491),
+                  (-2.7925, 0.0349), (-0.8727, 0.8727), (-0.8727, 0.8727),
+                  (-0.4363, 0.0873), (-1.0472, 0.6109), (-1.9199, 0.3491),
+                  (-2.7925, 0.0349), (-0.8727, 0.8727), (-0.8727, 0.8727),
+                  (-1.4835, 1.0472), (-1.4835, 1.0472), (-1.5708, 0.8727),
+                  (-1.0472, 1.4835), (-1.0472, 1.4835), (-1.5708, 0.8727)]
+        for i, (lo, hi) in enumerate(ranges):
+            st = st.at[7 + i].set(jax.random.uniform(ks[i], (), minval=lo,
+                                                     maxval=hi))
+        return st
+
+    def state_to_physics(self, state):
+        nq = self._env.model.nq
+        return state[:nq], state[nq:nq + self._env.model.nv]
+
+    def get_goal_weights(self):
+        w = jnp.zeros(self.state_dim)
+        return w.at[-5:].set(10 * self._state_penalty)
+
+    def set_goal(self, key):
+        return jnp.zeros(self.state_dim)
+
+
+class Manipulator(EnvWrapper):
+    """env_wrappers.py:310-343: grasp-site position + touch features."""
+    state_dim = 22 + 7
+    observation_dim = 37
+
+    def get_state(self, env_state, data=None):
+        from ..suite import sensors
+        m = self._env.model
+        phys = env_state.physics
+        base = jnp.concatenate([phys.qpos, phys.qvel])
+        if data is None:
+            return jnp.concatenate([base, jnp.zeros(7)])
+        grasp = m.name2id('site', 'grasp')
+        gx = data.site_xpos[grasp, 0]
+        gz = data.site_xpos[grasp, 2]
+        task = self._env.task
+        touch = task._touch(m, data)
+        return jnp.concatenate([base, gx[None], gz[None], touch])
+
+    def get_goal_weights(self):
+        w = jnp.zeros(self.state_dim)
+        w = w.at[8:10].set(10 * self._state_penalty)
+        w = w.at[10:21].set(self._state_penalty / 4)
+        w = w.at[-7:-5].set(10 * self._state_penalty)
+        return w.at[-5:].set(self._state_penalty / 20)
+
+    def set_goal(self, key):
+        # ball over the randomized target; params carry the actual target
+        g = jnp.zeros(self.state_dim)
+        target = jax.random.uniform(key, (2,), minval=-.4, maxval=.4)
+        g = g.at[8].set(target[0])
+        g = g.at[9].set(target[1])
+        g = g.at[-7].set(target[0])
+        g = g.at[-6].set(target[1])
+        return g.at[-5:].set(0.5)
+
+
 _WRAPPERS = {
     'Pointmass': PointMass,
     'PointMass': PointMass,
     'Reacher': Reacher,
     'Cartpole': Cartpole,
     'Pendulum': Pendulum,
+    'Cheetah': Cheetah,
+    'Walker': Walker,
+    'Hopper': Hopper,
+    'Swimmer': Swimmer,
+    'Humanoid': Humanoid,
+    'Manipulator': Manipulator,
 }
 
 
