@@ -171,9 +171,9 @@ class EnvWrapper:
                 return (env_state, pcarry, s_next, o_next), out
 
             keys = jax.random.split(kroll, num_steps)
-            _, (states, obs, actions, rewards) = jax.lax.scan(
-                step_fn, (env_state, carry0, s0, o0),
-                (jnp.arange(num_steps), keys))
+            (final_env_state, *_), (states, obs, actions, rewards) = \
+                jax.lax.scan(step_fn, (env_state, carry0, s0, o0),
+                             (jnp.arange(num_steps), keys))
 
             states = jnp.concatenate([s0[None], states], 0)
             obs = jnp.concatenate([o0[None], obs], 0)
@@ -189,6 +189,67 @@ class EnvWrapper:
         """One rollout (env_wrappers.py:100-147 semantics, jitted)."""
         fn = self.rollout_fn(num_steps, policy, policy_init=policy_init)
         return fn(key, goal_state, initial_state)
+
+    def record_rollout(self, key: jax.Array, num_steps: int,
+                       policy: Optional[Callable] = None,
+                       mp4path: Optional[str] = None,
+                       goal_state=None, initial_state=None,
+                       policy_init=None, height: int = 128,
+                       width: int = 128, plane: str = 'xz',
+                       extent: float = 2.5) -> Rollouts:
+        """Collect one rollout and write a debug video
+        (env_wrappers.py:149-159; GIF via the SDF renderer, see
+        utils.render — no ffmpeg in this environment).
+
+        Frames are rendered post-hoc by replaying the recorded physics
+        trajectory through FK, vmapped over timesteps on-device.
+        """
+        from ..physics import engine
+        from ..utils import render as render_mod
+        from ..utils.recorder import Recorder
+
+        env = self._env
+        kq, kr = jax.random.split(key)
+        rolls = self.get_rollout(kr, num_steps, policy,
+                                 goal_state=goal_state,
+                                 initial_state=initial_state,
+                                 policy_init=policy_init)
+        # Re-simulate deterministically to recover qpos for rendering
+        # (rollout storage keeps featured states; see get_state).
+        env_state, _ = env.reset(jax.random.split(kr)[0])
+        if initial_state is not None:
+            qpos, qvel = self.state_to_physics(initial_state)
+            env_state = env_state.replace(
+                physics=env_state.physics.replace(
+                    qpos=qpos.astype(env_state.physics.qpos.dtype),
+                    qvel=qvel.astype(env_state.physics.qvel.dtype)))
+        if goal_state is not None:
+            env_state = self.apply_goal(env_state, goal_state)
+
+        def replay(carry, a):
+            env_state = carry
+            env_state, ts = env.step(env_state, a)
+            return env_state, env_state.physics.qpos
+
+        _, qposes = jax.jit(lambda s, acts: jax.lax.scan(replay, s, acts))(
+            env_state, rolls.actions[0])
+
+        m = env._model_with(env_state.params)
+
+        def frame(qpos):
+            from ..physics import make_state
+            data = engine.forward(m, make_state(m, qpos=qpos),
+                                  jnp.zeros(m.nu))
+            return render_mod.render(m, data, height, width, plane=plane,
+                                     extent=extent)
+
+        imgs = jax.jit(jax.vmap(frame))(qposes)
+        rec = Recorder()
+        for f in render_mod.render_to_uint8(imgs):
+            rec.record_frame(f)
+        if mp4path:
+            rec.make_movie(mp4path)
+        return rolls
 
     def get_rollouts(self, key: jax.Array, num_rollouts: int,
                      num_steps: int, policy: Optional[Callable] = None,

@@ -29,6 +29,7 @@ class Planner(Enum):
     RandomShooting = 'rs'
     GradientDescent = 'grad'
     CEM = 'cem'
+    ILQR = 'ilqr'
 
     def __str__(self):
         return self.value
@@ -38,6 +39,7 @@ class Planner(Enum):
             Planner.RandomShooting: planners.RandomShootingPlanner,
             Planner.GradientDescent: planners.GradientDescentPlanner,
             Planner.CEM: planners.CEMPlanner,
+            Planner.ILQR: planners.ILQRPlanner,
         }[self]
 
 

@@ -22,11 +22,12 @@ and return `(states, actions)` trajectories like ModelPlanner.plan
 
 from .shooting import Trajectory, random_shooting, cem
 from .gradient import gradient_descent
+from .ilqr import ilqr
 from .api import (ModelPlanner, RandomShootingPlanner, CEMPlanner,
-                  GradientDescentPlanner)
+                  GradientDescentPlanner, ILQRPlanner)
 
 __all__ = [
-    'Trajectory', 'random_shooting', 'cem', 'gradient_descent',
+    'Trajectory', 'random_shooting', 'cem', 'gradient_descent', 'ilqr',
     'ModelPlanner', 'RandomShootingPlanner', 'CEMPlanner',
-    'GradientDescentPlanner',
+    'GradientDescentPlanner', 'ILQRPlanner',
 ]

@@ -79,3 +79,18 @@ class GradientDescentPlanner(ModelPlanner):
             num_iterations=cfg['num_iterations'],
             stop_condition=cfg['stop_condition'],
             initial_trajectory=initial_trajectory)
+
+
+class ILQRPlanner(ModelPlanner):
+    defaults = dict(num_iterations=10)
+
+    @classmethod
+    def plan(cls, initial_state, model, cost, sample_action, horizon,
+             initial_trajectory=None, key=None, **kwargs) -> Trajectory:
+        from . import ilqr as _ilqr
+        key = key if key is not None else jax.random.PRNGKey(0)
+        cfg = {**cls.defaults, **kwargs}
+        return _ilqr.ilqr(
+            key, initial_state, model, cost, sample_action, horizon,
+            num_iterations=cfg['num_iterations'],
+            initial_trajectory=initial_trajectory)

@@ -9,5 +9,9 @@ checkpointing, profiling helpers, and a rollout video recorder.
 from .logger import logger
 from .metrics import MetricsWriter
 from .checkpoint import save_pytree, load_pytree
+from .recorder import Recorder
+from .jacobian import compute_jacobian
+from . import render
 
-__all__ = ['logger', 'MetricsWriter', 'save_pytree', 'load_pytree']
+__all__ = ['logger', 'MetricsWriter', 'save_pytree', 'load_pytree',
+           'Recorder', 'compute_jacobian', 'render']
