@@ -178,6 +178,34 @@ def step(m: M.Model, state: M.State, ctrl: jnp.ndarray,
     return _euler(m, state, ctrl, contact_fn)
 
 
+class PhysicsError(RuntimeError):
+    """Raised by host-side checks when the simulation diverged
+    (role of the reference's warning-counter PhysicsError,
+    engine.py:260-270)."""
+
+
+def diverged(state: M.State, qpos_limit: float = 1e6,
+             qvel_limit: float = 1e6) -> jnp.ndarray:
+    """Traced divergence predicate: NaN/Inf or exploding state.
+
+    Lockstep-vmap equivalent of MuJoCo's mjWARN_BADQPOS/BADQVEL counters:
+    batched envs fold this into auto-reset masks instead of raising.
+    """
+    bad_pos = jnp.logical_or(~jnp.isfinite(state.qpos),
+                             jnp.abs(state.qpos) > qpos_limit).any()
+    bad_vel = jnp.logical_or(~jnp.isfinite(state.qvel),
+                             jnp.abs(state.qvel) > qvel_limit).any()
+    return jnp.logical_or(bad_pos, bad_vel)
+
+
+def check_divergence(state: M.State) -> None:
+    """Host-side check; raises PhysicsError (engine.py:260-270 behavior)."""
+    import numpy as np
+    if bool(np.asarray(diverged(state))):
+        raise PhysicsError('Physics state is invalid (NaN/Inf or '
+                           'exploding qpos/qvel).')
+
+
 def n_substeps(m: M.Model, control_timestep: float) -> int:
     """Number of physics substeps per control step (rl/control.py:171-197)."""
     ts = float(m.opt.timestep)

@@ -203,7 +203,10 @@ class Environment:
         """
         stepped_state, stepped_ts = self.step(state, action)
         reset_state, reset_ts = self.reset(key)
-        was_last = state.step_count >= self._max_steps
+        # restart on episode end OR physics divergence (the SPMD analogue
+        # of PhysicsError + reset_context tolerance, rl/control.py:250-253)
+        was_last = jnp.logical_or(state.step_count >= self._max_steps,
+                                  engine.diverged(state.physics))
 
         def pick(a, b):
             return jax.tree_util.tree_map(

@@ -6,6 +6,8 @@ rewards in [0,1] for benchmarking tasks, determinism under fixed seed,
 randomized initial state, episode-end bookkeeping.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -13,8 +15,18 @@ import pytest
 
 from mujoco_mbrl_tpu import suite
 
-ALL_TASKS = suite.all_tasks()
-BENCHMARKING = suite.benchmarking()
+# Domains whose XLA compiles take minutes on CPU; their full conformance
+# runs only with RUN_HEAVY=1 (they still get load/spec smoke tests below).
+_HEAVY_DOMAINS = frozenset(
+    {'humanoid', 'manipulator', 'finger', 'fish', 'ball_in_cup', 'cheetah'})
+_RUN_HEAVY = os.environ.get('RUN_HEAVY', '') == '1'
+
+ALL_TASKS = tuple((d, t) for d, t in suite.all_tasks()
+                  if _RUN_HEAVY or d not in _HEAVY_DOMAINS)
+HEAVY_TASKS = tuple((d, t) for d, t in suite.all_tasks()
+                    if d in _HEAVY_DOMAINS)
+BENCHMARKING = tuple((d, t) for d, t in suite.benchmarking()
+                     if _RUN_HEAVY or d not in _HEAVY_DOMAINS)
 
 
 def _uniform_actions(env, key, n):
@@ -79,6 +91,16 @@ def test_benchmarking_rewards_in_unit_interval(domain, task):
     """domains_test.py:99-104."""
     rewards, _ = _rollout(suite.load(domain, task), seed=3, n=30)
     assert (rewards >= 0).all() and (rewards <= 1).all()
+
+
+@pytest.mark.parametrize('domain,task', HEAVY_TASKS)
+def test_heavy_domains_load(domain, task):
+    """Heavy domains always get a no-trace load + spec smoke test; their
+    full conformance runs with RUN_HEAVY=1."""
+    env = suite.load(domain, task)
+    spec = env.action_spec()
+    assert spec.shape == (env.model.nu,)
+    assert env.model.nbody >= 2
 
 
 class TestEpisodeBookkeeping:
