@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import List, NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -146,93 +147,129 @@ def _closest_segment_segment(a0, a1, b0, b1):
     return p1, p2
 
 
+# --------------------------------------------------------------------------
+# Batched per-pair kernels. Each takes (p1, R1, s1, p2, R2, s2) for ONE pair
+# and returns (dist (k,), pos (k, 3), normal (k, 3)) for its k contact
+# points; `detect` vmaps each kernel over all same-type pairs at once so the
+# narrowphase is a handful of fused batched ops instead of a Python loop —
+# the difference between a 40k-equation and a few-hundred-equation XLA
+# program on contact-rich models (manipulator: 118 candidate pairs).
+# --------------------------------------------------------------------------
+
+def _seg_of(p, R, half):
+    axis = R[:, 2]
+    return p - half * axis, p + half * axis
+
+
+def _k_plane_sphere(p1, R1, s1, p2, R2, s2):
+    n = R1[:, 2]
+    d, pos = _plane_point(p1, n, p2, s2[0])
+    return d[None], pos[None], n[None]
+
+
+def _k_plane_capsule(p1, R1, s1, p2, R2, s2):
+    n = R1[:, 2]
+    r = s2[0]
+    e0, e1 = _seg_of(p2, R2, s2[1])
+    d0, pos0 = _plane_point(p1, n, e0, r)
+    d1, pos1 = _plane_point(p1, n, e1, r)
+    return (jnp.stack([d0, d1]), jnp.stack([pos0, pos1]),
+            jnp.stack([n, n]))
+
+
+_BOX_SIGNS = np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+                       for sz in (-1, 1)], np.float32)
+
+
+def _k_plane_box(p1, R1, s1, p2, R2, s2):
+    n = R1[:, 2]
+    corners = _BOX_SIGNS.astype(s2.dtype) * s2          # (8, 3)
+    world = p2 + corners @ R2.T                          # (8, 3)
+    ds = (world - p1) @ n
+    order = jnp.argsort(ds)[:4]                          # 4 deepest corners
+    w = world[order]
+    d = ds[order]
+    pos = w - 0.5 * d[:, None] * n
+    return d, pos, jnp.broadcast_to(n, (4, 3))
+
+
+def _k_sphere_sphere(p1, R1, s1, p2, R2, s2):
+    r1, r2 = s1[0], s2[0]
+    dvec = p2 - p1
+    dist = jnp.linalg.norm(dvec)
+    n = dvec / jnp.maximum(dist, 1e-12)
+    d = dist - (r1 + r2)
+    pos = p1 + n * (r1 + 0.5 * d)
+    return d[None], pos[None], n[None]
+
+
+def _k_sphere_capsule(p1, R1, s1, p2, R2, s2):
+    r1, r2 = s1[0], s2[0]
+    e0, e1 = _seg_of(p2, R2, s2[1])
+    cp = _closest_segment_point(e0, e1, p1)
+    dvec = cp - p1
+    dist = jnp.linalg.norm(dvec)
+    n = dvec / jnp.maximum(dist, 1e-12)
+    d = dist - (r1 + r2)
+    pos = p1 + n * (r1 + 0.5 * d)
+    return d[None], pos[None], n[None]
+
+
+def _k_capsule_capsule(p1, R1, s1, p2, R2, s2):
+    r1, r2 = s1[0], s2[0]
+    a0, a1 = _seg_of(p1, R1, s1[1])
+    b0, b1 = _seg_of(p2, R2, s2[1])
+    c1, c2 = _closest_segment_segment(a0, a1, b0, b1)
+    dvec = c2 - c1
+    dist = jnp.linalg.norm(dvec)
+    n = dvec / jnp.maximum(dist, 1e-12)
+    d = dist - (r1 + r2)
+    pos = c1 + n * (r1 + 0.5 * d)
+    return d[None], pos[None], n[None]
+
+
+_KERNELS = {
+    (M.PLANE, M.SPHERE): _k_plane_sphere,
+    (M.PLANE, M.CAPSULE): _k_plane_capsule,
+    (M.PLANE, M.BOX): _k_plane_box,
+    (M.SPHERE, M.SPHERE): _k_sphere_sphere,
+    (M.SPHERE, M.CAPSULE): _k_sphere_capsule,
+    (M.CAPSULE, M.CAPSULE): _k_capsule_capsule,
+}
+
+
+def _combine_batched(m: M.Model, ga: np.ndarray, gb: np.ndarray):
+    """Vectorized _combine over pair index arrays (same math, batched)."""
+    pri = np.asarray(m.geom_priority)
+    p1, p2 = pri[ga], pri[gb]
+    fr1, fr2 = m.geom_friction[ga], m.geom_friction[gb]
+    sr1, sr2 = m.geom_solref[ga], m.geom_solref[gb]
+    si1, si2 = m.geom_solimp[ga], m.geom_solimp[gb]
+    s1 = m.geom_solmix[ga]
+    s2 = m.geom_solmix[gb]
+    mix = (s1 / jnp.maximum(s1 + s2, 1e-12))[:, None]
+    fr_mixed = jnp.maximum(fr1, fr2)
+    sr_mixed = mix * sr1 + (1 - mix) * sr2
+    si_mixed = mix * si1 + (1 - mix) * si2
+    take1 = (p1 > p2)[:, None]
+    take2 = (p2 > p1)[:, None]
+    friction = jnp.where(take1, fr1, jnp.where(take2, fr2, fr_mixed))
+    solref = jnp.where(take1, sr1, jnp.where(take2, sr2, sr_mixed))
+    solimp = jnp.where(take1, si1, jnp.where(take2, si2, si_mixed))
+    return friction, solref, solimp
+
+
 def detect(m: M.Model, geom_xpos, geom_xmat,
            pairs: List[Tuple[int, int]]) -> Contact:
-    """Evaluate all candidate pairs -> fixed-size Contact batch."""
+    """Evaluate all candidate pairs -> fixed-size Contact batch.
+
+    Pairs are grouped by geom-type combination and each group is evaluated
+    as ONE vmapped kernel call; results scatter back into the original
+    emission order, so the contact row layout (and therefore constraint-
+    solver sweep order) is identical to a sequential per-pair evaluation.
+    """
     dtype = geom_xpos.dtype
-    dists, poss, frames = [], [], []
-    g1s, g2s, fricts, solrefs, solimps = [], [], [], [], []
-
-    def emit(g1, g2, dist, pos, n):
-        t1, t2 = _tangent_frame(n)
-        dists.append(dist)
-        poss.append(pos)
-        frames.append(jnp.stack([n, t1, t2]))
-        g1s.append(g1)
-        g2s.append(g2)
-        fr, sr, si = _combine(m, g1, g2)
-        fricts.append(fr)
-        solrefs.append(sr)
-        solimps.append(si)
-
-    for g1, g2 in pairs:
-        t1, t2 = m.geom_type[g1], m.geom_type[g2]
-        p1, p2 = geom_xpos[g1], geom_xpos[g2]
-        R1, R2 = geom_xmat[g1], geom_xmat[g2]
-
-        if t1 == M.PLANE:
-            n = R1[:, 2]
-            if t2 == M.SPHERE:
-                d, pos = _plane_point(p1, n, p2, m.geom_size[g2, 0])
-                emit(g1, g2, d, pos, n)
-            elif t2 == M.CAPSULE:
-                r = m.geom_size[g2, 0]
-                e0, e1 = _capsule_segment(m, g2, p2, R2)
-                for e in (e0, e1):
-                    d, pos = _plane_point(p1, n, e, r)
-                    emit(g1, g2, d, pos, n)
-            elif t2 == M.BOX:
-                # 4 deepest corners: evaluate all 8, keep per-corner rows
-                # for the -z face pairings; simpler: all 8 masked by depth
-                # would double rows, so take the 4 corners on the side
-                # facing the plane via sign of projection.
-                size = m.geom_size[g2]
-                corners = []
-                for sx in (-1, 1):
-                    for sy in (-1, 1):
-                        for sz in (-1, 1):
-                            corners.append(jnp.array([sx, sy, sz],
-                                                     dtype) * size)
-                # pick 4 lowest corners by distance to plane
-                world = [p2 + R2 @ c for c in corners]
-                ds = jnp.stack([n @ (w - p1) for w in world])
-                order = jnp.argsort(ds)[:4]
-                wstack = jnp.stack(world)
-                for k in range(4):
-                    w = wstack[order[k]]
-                    d = ds[order[k]]
-                    emit(g1, g2, d, w - 0.5 * d * n, n)
-        elif t1 == M.SPHERE and t2 == M.SPHERE:
-            r1, r2 = m.geom_size[g1, 0], m.geom_size[g2, 0]
-            dvec = p2 - p1
-            dist = jnp.linalg.norm(dvec)
-            n = dvec / jnp.maximum(dist, 1e-12)
-            d = dist - (r1 + r2)
-            pos = p1 + n * (r1 + 0.5 * d)
-            emit(g1, g2, d, pos, n)
-        elif t1 == M.SPHERE and t2 == M.CAPSULE:
-            r1, r2 = m.geom_size[g1, 0], m.geom_size[g2, 0]
-            e0, e1 = _capsule_segment(m, g2, p2, R2)
-            cp = _closest_segment_point(e0, e1, p1)
-            dvec = cp - p1
-            dist = jnp.linalg.norm(dvec)
-            n = dvec / jnp.maximum(dist, 1e-12)
-            d = dist - (r1 + r2)
-            pos = p1 + n * (r1 + 0.5 * d)
-            emit(g1, g2, d, pos, n)
-        elif t1 == M.CAPSULE and t2 == M.CAPSULE:
-            r1, r2 = m.geom_size[g1, 0], m.geom_size[g2, 0]
-            a0, a1 = _capsule_segment(m, g1, p1, R1)
-            b0, b1 = _capsule_segment(m, g2, p2, R2)
-            c1, c2 = _closest_segment_segment(a0, a1, b0, b1)
-            dvec = c2 - c1
-            dist = jnp.linalg.norm(dvec)
-            n = dvec / jnp.maximum(dist, 1e-12)
-            d = dist - (r1 + r2)
-            pos = c1 + n * (r1 + 0.5 * d)
-            emit(g1, g2, d, pos, n)
-
-    if not dists:
+    if not pairs:
         return Contact(
             dist=jnp.zeros((0,), dtype), pos=jnp.zeros((0, 3), dtype),
             frame=jnp.zeros((0, 3, 3), dtype), geom1=(), geom2=(),
@@ -240,8 +277,44 @@ def detect(m: M.Model, geom_xpos, geom_xmat,
             solref=jnp.zeros((0, 2), dtype),
             solimp=jnp.zeros((0, 5), dtype))
 
+    # static bookkeeping: per-pair type key, row offsets, per-row pair index
+    keys = [(m.geom_type[g1], m.geom_type[g2]) for g1, g2 in pairs]
+    npts = [_PAIR_POINTS[k] for k in keys]
+    offsets = np.concatenate([[0], np.cumsum(npts)[:-1]]).astype(np.int64)
+    C = int(sum(npts))
+    row_pair = np.repeat(np.arange(len(pairs)), npts)
+    g1_rows = tuple(pairs[i][0] for i in row_pair)
+    g2_rows = tuple(pairs[i][1] for i in row_pair)
+
+    groups: dict = {}
+    for i, k in enumerate(keys):
+        groups.setdefault(k, []).append(i)
+
+    dist = jnp.zeros((C,), dtype)
+    pos = jnp.zeros((C, 3), dtype)
+    nrm = jnp.zeros((C, 3), dtype)
+    for key, idxs in groups.items():
+        k = _PAIR_POINTS[key]
+        ga = np.array([pairs[i][0] for i in idxs])
+        gb = np.array([pairs[i][1] for i in idxs])
+        d, p, n = jax.vmap(_KERNELS[key])(
+            geom_xpos[ga], geom_xmat[ga], m.geom_size[ga],
+            geom_xpos[gb], geom_xmat[gb], m.geom_size[gb])
+        rows = np.concatenate([offsets[i] + np.arange(k) for i in idxs])
+        dist = dist.at[rows].set(d.reshape(-1))
+        pos = pos.at[rows].set(p.reshape(-1, 3))
+        nrm = nrm.at[rows].set(n.reshape(-1, 3))
+
+    # tangent frames for all rows at once
+    t1, t2 = jax.vmap(_tangent_frame)(nrm)
+    frame = jnp.stack([nrm, t1, t2], axis=1)
+
+    # combined contact parameters, per pair then repeated per point
+    ga_all = np.array([g1 for g1, _ in pairs])
+    gb_all = np.array([g2 for _, g2 in pairs])
+    friction, solref, solimp = _combine_batched(m, ga_all, gb_all)
+
     return Contact(
-        dist=jnp.stack(dists), pos=jnp.stack(poss),
-        frame=jnp.stack(frames), geom1=tuple(g1s), geom2=tuple(g2s),
-        friction=jnp.stack(fricts), solref=jnp.stack(solrefs),
-        solimp=jnp.stack(solimps))
+        dist=dist, pos=pos, frame=frame, geom1=g1_rows, geom2=g2_rows,
+        friction=friction[row_pair], solref=solref[row_pair],
+        solimp=solimp[row_pair])

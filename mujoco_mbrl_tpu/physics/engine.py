@@ -110,14 +110,24 @@ def forward(m: M.Model, state: M.State, ctrl: jnp.ndarray,
 
 def integrate_pos(m: M.Model, qpos: jnp.ndarray, qvel: jnp.ndarray,
                   dt) -> jnp.ndarray:
-    """qpos += dt * qvel with quaternion handling per joint type."""
+    """qpos += dt * qvel with quaternion handling per joint type.
+
+    All scalar (slide/hinge) joints integrate as one batched scatter-add;
+    only quaternion joints (ball/free — at most one or two per suite model)
+    get per-joint treatment.
+    """
+    import numpy as np
     out = qpos
+    scalar_q = [m.jnt_qposadr[j] for j in range(m.njnt)
+                if m.jnt_type[j] in (M.SLIDE, M.HINGE)]
+    scalar_d = [m.jnt_dofadr[j] for j in range(m.njnt)
+                if m.jnt_type[j] in (M.SLIDE, M.HINGE)]
+    if scalar_q:
+        out = out.at[np.array(scalar_q)].add(dt * qvel[np.array(scalar_d)])
     for j in range(m.njnt):
         jtype = m.jnt_type[j]
         qadr, dadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
-        if jtype in (M.SLIDE, M.HINGE):
-            out = out.at[qadr].add(dt * qvel[dadr])
-        elif jtype == M.BALL:
+        if jtype == M.BALL:
             q = pm.quat_integrate(qpos[qadr:qadr + 4],
                                   qvel[dadr:dadr + 3], dt)
             out = out.at[qadr:qadr + 4].set(q)

@@ -232,30 +232,42 @@ def body_spatial_inertia(m: M.Model, xquat, xipos):
 # --------------------------------------------------------------------------
 
 def crba(m: M.Model, cdof, cinert, meta: TreeMeta) -> jnp.ndarray:
-    """Joint-space inertia matrix via Composite Rigid Body Algorithm."""
+    """Joint-space inertia matrix via Composite Rigid Body Algorithm.
+
+    M[i, j] = cdof[j] . (crb[body(i)] @ cdof[i]) for j on i's ancestor
+    chain. Computed as ONE (nv, 6)x(6, nv) matmul masked by a static
+    ancestor matrix — MXU-shaped, instead of O(nv * chain) scalar
+    scatter updates (which dominated compile time on 3D models).
+    """
+    import numpy as np
     dtype = cdof.dtype
+    if not m.nv:
+        return jnp.zeros((0, 0), dtype)
+    # subtree composite inertias (sequential over ~nbody, cheap)
     crb = [cinert[b] for b in range(m.nbody)]
     for b in range(m.nbody - 1, 0, -1):
         p = m.body_parent[b]
         crb[p] = crb[p] + crb[b]
+    crb = jnp.stack(crb)                                    # (nbody, 6, 6)
 
-    rows = []
-    Mmat = jnp.zeros((m.nv, m.nv), dtype)
+    dof_body = np.zeros(m.nv, np.int64)
+    for b in range(m.nbody):
+        for k in meta.body_dofs[b]:
+            dof_body[k] = b
+    # static mask: lower[i, j] = 1 iff j <= i and j on chain(body(i))
+    lower = np.zeros((m.nv, m.nv), np.float32)
     for b in range(1, m.nbody):
-        own = meta.body_dofs[b]
         chain = meta.ancestor_dofs[b]
-        for i in own:
-            F = crb[b] @ cdof[i]
+        for i in meta.body_dofs[b]:
             for j in chain:
-                if j > i:
-                    continue
-                val = cdof[j] @ F
-                Mmat = Mmat.at[i, j].set(val)
-                if i != j:
-                    Mmat = Mmat.at[j, i].set(val)
-    if m.nv:
-        Mmat = Mmat + jnp.diag(m.dof_armature)
-    return Mmat
+                if j <= i:
+                    lower[i, j] = 1.0
+
+    F = jnp.einsum('kij,kj->ki', crb[dof_body], cdof)       # (nv, 6)
+    Mfull = F @ cdof.T                                      # (nv, nv)
+    Mlow = Mfull * jnp.asarray(lower, dtype)
+    Mmat = Mlow + jnp.tril(Mlow, -1).T
+    return Mmat + jnp.diag(m.dof_armature)
 
 
 # --------------------------------------------------------------------------
@@ -293,20 +305,23 @@ def rnea_bias(m: M.Model, qvel, cdof, cdof_dot, cvel, cinert,
             a = a + cdof_dot[k] * qvel[k]
         a_bias.append(a)
 
-    f = [None] * m.nbody
-    for b in range(m.nbody):
-        Iv = cinert[b] @ cvel[b]
-        f[b] = cinert[b] @ a_bias[b] + pm.force_cross(cvel[b], Iv)
-    # accumulate up the tree
+    import numpy as np
+    a_stack = jnp.stack(a_bias)                              # (nbody, 6)
+    Iv = jnp.einsum('bij,bj->bi', cinert, cvel)
+    f_stack = (jnp.einsum('bij,bj->bi', cinert, a_stack)
+               + jax.vmap(pm.force_cross)(cvel, Iv))
+    # accumulate up the tree (sequential over ~nbody, cheap)
+    f = [f_stack[b] for b in range(m.nbody)]
     for b in range(m.nbody - 1, 0, -1):
         p = m.body_parent[b]
         f[p] = f[p] + f[b]
+    f = jnp.stack(f)
 
-    qfrc = jnp.zeros(m.nv, dtype)
-    for b in range(1, m.nbody):
+    dof_body = np.zeros(m.nv, np.int64)
+    for b in range(m.nbody):
         for k in meta.body_dofs[b]:
-            qfrc = qfrc.at[k].set(cdof[k] @ f[b])
-    return qfrc
+            dof_body[k] = b
+    return jnp.einsum('kj,kj->k', cdof, f[dof_body])
 
 
 # --------------------------------------------------------------------------
@@ -315,19 +330,26 @@ def rnea_bias(m: M.Model, qvel, cdof, cdof_dot, cvel, cinert,
 
 def spring_force(m: M.Model, qpos: jnp.ndarray) -> jnp.ndarray:
     """qfrc from joint springs: -stiffness * (qpos - qpos_spring)."""
+    import numpy as np
     dtype = qpos.dtype
     qfrc = jnp.zeros(m.nv, dtype)
+    # scalar joints, one batched scatter
+    sq, sd, sj = [], [], []
     for j in range(m.njnt):
-        stiff = m.jnt_stiffness[j]
-        jtype = m.jnt_type[j]
-        qadr, dadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
-        if jtype in (M.SLIDE, M.HINGE):
-            qfrc = qfrc.at[dadr].add(
-                -stiff * (qpos[qadr] - m.qpos_spring[qadr]))
-        elif jtype == M.FREE:
+        if m.jnt_type[j] in (M.SLIDE, M.HINGE):
+            sq.append(m.jnt_qposadr[j])
+            sd.append(m.jnt_dofadr[j])
+            sj.append(j)
+    if sq:
+        sq, sd, sj = np.array(sq), np.array(sd), np.array(sj)
+        qfrc = qfrc.at[sd].add(
+            -m.jnt_stiffness[sj] * (qpos[sq] - m.qpos_spring[sq]))
+    for j in range(m.njnt):
+        if m.jnt_type[j] == M.FREE:
+            qadr, dadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
             qfrc = qfrc.at[dadr:dadr + 3].add(
-                -stiff * (qpos[qadr:qadr + 3]
-                          - m.qpos_spring[qadr:qadr + 3]))
+                -m.jnt_stiffness[j] * (qpos[qadr:qadr + 3]
+                                       - m.qpos_spring[qadr:qadr + 3]))
             # rotational spring on free joints unused by the task suite
     return qfrc
 
@@ -377,50 +399,48 @@ def fluid_force(m: M.Model, xipos, xquat, cvel, cdof,
     dtype = cvel.dtype
     rho = m.opt.density
     eta = m.opt.viscosity
-    qfrc = jnp.zeros(m.nv, dtype)
-    mass_np = np.asarray(m.body_mass)   # static gate (concrete at trace)
+    # static mask for massless bodies (world, ghost frames)
+    live = jnp.asarray(
+        (np.asarray(m.body_mass) > 1e-12).astype(np.float32), dtype)
 
-    # spatial forces per body (world frame @ origin), then project to dofs
-    f_spatial = []
-    for b in range(m.nbody):
-        if float(mass_np[b]) <= 1e-12:
-            f_spatial.append(jnp.zeros(6, dtype))
-            continue
-        R_body = pm.quat_to_mat(xquat[b])
-        R = R_body @ m.body_principal_mat[b]   # world <- principal
-        com = xipos[b]
-        w_world = cvel[b, :3]
-        v_world = cvel[b, 3:] + jnp.cross(w_world, com) - m.opt.wind
-        v = R.T @ v_world
-        w = R.T @ w_world
-        box = m.body_fluid_box[b]
-        d_eq = 2.0 * (box[0] + box[1] + box[2]) / 3.0
+    # all bodies at once: velocities in each body's principal frame
+    R_body = jax.vmap(pm.quat_to_mat)(xquat)                   # (nb, 3, 3)
+    R = jnp.einsum('bij,bjk->bik', R_body, m.body_principal_mat)
+    com = xipos
+    w_world = cvel[:, :3]
+    v_world = cvel[:, 3:] + jnp.cross(w_world, com) - m.opt.wind
+    v = jnp.einsum('bji,bj->bi', R, v_world)                   # R^T v
+    w = jnp.einsum('bji,bj->bi', R, w_world)
+    box = m.body_fluid_box                                      # (nb, 3)
+    d_eq = 2.0 * box.sum(axis=1, keepdims=True) / 3.0
 
-        f_loc = -3.0 * jnp.pi * eta * d_eq * v
-        t_loc = -jnp.pi * eta * d_eq ** 3 * w
-        b0, b1, b2 = box[0], box[1], box[2]
-        areas = jnp.stack([b1 * b2, b0 * b2, b0 * b1])
-        f_loc = f_loc - 2.0 * rho * areas * jnp.abs(v) * v
-        moments = jnp.stack([b0 * (b1 ** 4 + b2 ** 4),
-                             b1 * (b0 ** 4 + b2 ** 4),
-                             b2 * (b0 ** 4 + b1 ** 4)])
-        t_loc = t_loc - 0.5 * rho * moments * jnp.abs(w) * w
+    f_loc = -3.0 * jnp.pi * eta * d_eq * v
+    t_loc = -jnp.pi * eta * d_eq ** 3 * w
+    b0, b1, b2 = box[:, 0], box[:, 1], box[:, 2]
+    areas = jnp.stack([b1 * b2, b0 * b2, b0 * b1], axis=1)
+    f_loc = f_loc - 2.0 * rho * areas * jnp.abs(v) * v
+    moments = jnp.stack([b0 * (b1 ** 4 + b2 ** 4),
+                         b1 * (b0 ** 4 + b2 ** 4),
+                         b2 * (b0 ** 4 + b1 ** 4)], axis=1)
+    t_loc = t_loc - 0.5 * rho * moments * jnp.abs(w) * w
 
-        f_world = R @ f_loc
-        t_world = R @ t_loc
-        # spatial force about world origin
-        f_spatial.append(jnp.concatenate(
-            [t_world + jnp.cross(com, f_world), f_world]))
+    f_world = jnp.einsum('bij,bj->bi', R, f_loc)
+    t_world = jnp.einsum('bij,bj->bi', R, t_loc)
+    # spatial force about world origin, masked to massive bodies
+    f_spatial = live[:, None] * jnp.concatenate(
+        [t_world + jnp.cross(com, f_world), f_world], axis=1)   # (nb, 6)
 
     # accumulate subtree forces and project onto dofs (J^T f)
-    f_acc = list(f_spatial)
+    f_acc = [f_spatial[b] for b in range(m.nbody)]
     for b in range(m.nbody - 1, 0, -1):
         p = m.body_parent[b]
         f_acc[p] = f_acc[p] + f_acc[b]
-    for b in range(1, m.nbody):
+    f_acc = jnp.stack(f_acc)
+    dof_body = np.zeros(m.nv, np.int64)
+    for b in range(m.nbody):
         for k in meta.body_dofs[b]:
-            qfrc = qfrc.at[k].add(cdof[k] @ f_acc[b])
-    return qfrc
+            dof_body[k] = b
+    return jnp.einsum('kj,kj->k', cdof, f_acc[dof_body])
 
 
 # --------------------------------------------------------------------------
@@ -428,52 +448,62 @@ def fluid_force(m: M.Model, xipos, xquat, cvel, cdof,
 # --------------------------------------------------------------------------
 
 def actuation(m: M.Model, qpos, qvel, ctrl) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(actuator_force, qfrc_actuator) following mj_fwdActuation semantics."""
+    """(actuator_force, qfrc_actuator) following mj_fwdActuation semantics.
+
+    Joint-transmission actuators (the entire suite except the fish's
+    tendon-driven fins) evaluate as one batched expression over all
+    actuators; only tendon transmissions loop.
+    """
+    import numpy as np
     dtype = qpos.dtype
     if m.nu == 0 or (m.opt.disableflags & M.DSBL_ACTUATION):
         return jnp.zeros((m.nu,), dtype), jnp.zeros((m.nv,), dtype)
 
-    forces = []
-    qfrc = jnp.zeros(m.nv, dtype)
-    for u in range(m.nu):
-        c = ctrl[u]
-        if m.actuator_ctrllimited[u]:
-            c = jnp.clip(c, m.actuator_ctrlrange[u, 0],
-                         m.actuator_ctrlrange[u, 1])
+    # per-actuator transmission length/velocity
+    length = jnp.zeros((m.nu,), dtype)
+    velocity = jnp.zeros((m.nu,), dtype)
+    joint_us = [u for u in range(m.nu)
+                if m.actuator_trntype[u] == M.TRN_JOINT]
+    if joint_us:
+        uj = np.array(joint_us)
+        jids = np.array([m.actuator_trnid[u] for u in joint_us])
+        qadr = np.array([m.jnt_qposadr[j] for j in jids])
+        dadr = np.array([m.jnt_dofadr[j] for j in jids])
+        gear_j = m.actuator_gear[uj]
+        length = length.at[uj].set(gear_j * qpos[qadr])
+        velocity = velocity.at[uj].set(gear_j * qvel[dadr])
+    tendon_us = [u for u in range(m.nu)
+                 if m.actuator_trntype[u] != M.TRN_JOINT]
+    for u in tendon_us:
+        t = m.actuator_trnid[u]
         gear = m.actuator_gear[u]
-        if m.actuator_trntype[u] == M.TRN_JOINT:
-            j = m.actuator_trnid[u]
-            adr = m.jnt_dofadr[j]
-            qadr = m.jnt_qposadr[j]
-            length = gear * qpos[qadr]
-            velocity = gear * qvel[adr]
-        else:  # fixed tendon
-            t = m.actuator_trnid[u]
-            row = m.tendon_moment[t]
-            length = gear * fixed_tendon_length(m, qpos, t)
-            velocity = gear * (row @ qvel)
+        length = length.at[u].set(gear * fixed_tendon_length(m, qpos, t))
+        velocity = velocity.at[u].set(gear * (m.tendon_moment[t] @ qvel))
 
-        force = m.actuator_gainprm[u, 0] * c
-        if m.actuator_biastype[u] == M.BIAS_AFFINE:
-            force = (force + m.actuator_biasprm[u, 0]
-                     + m.actuator_biasprm[u, 1] * length
-                     + m.actuator_biasprm[u, 2] * velocity)
-        if m.actuator_forcelimited[u]:
-            force = jnp.clip(force, m.actuator_forcerange[u, 0],
-                             m.actuator_forcerange[u, 1])
-        forces.append(force)
+    # batched ctrl clamping, gain, affine bias, force clamping
+    ctrl_lim = np.array(m.actuator_ctrllimited)
+    c = jnp.where(jnp.asarray(ctrl_lim),
+                  jnp.clip(ctrl, m.actuator_ctrlrange[:, 0],
+                           m.actuator_ctrlrange[:, 1]), ctrl)
+    force = m.actuator_gainprm[:, 0] * c
+    affine = np.array([bt == M.BIAS_AFFINE for bt in m.actuator_biastype])
+    if affine.any():
+        force = force + jnp.asarray(affine, dtype) * (
+            m.actuator_biasprm[:, 0]
+            + m.actuator_biasprm[:, 1] * length
+            + m.actuator_biasprm[:, 2] * velocity)
+    force_lim = np.array(m.actuator_forcelimited)
+    if force_lim.any():
+        force = jnp.where(jnp.asarray(force_lim),
+                          jnp.clip(force, m.actuator_forcerange[:, 0],
+                                   m.actuator_forcerange[:, 1]), force)
 
-        if m.actuator_trntype[u] == M.TRN_JOINT:
-            j = m.actuator_trnid[u]
-            adr = m.jnt_dofadr[j]
-            width = _dof_width(m.jnt_type[j])
-            if width == 1:
-                qfrc = qfrc.at[adr].add(gear * force)
-            else:
-                # free/ball transmission uses the first gear column only
-                qfrc = qfrc.at[adr].add(gear * force)
-        else:
-            t = m.actuator_trnid[u]
-            qfrc = qfrc + m.tendon_moment[t] * (gear * force)
+    # project to dofs: joint transmissions in one scatter-add
+    qfrc = jnp.zeros(m.nv, dtype)
+    if joint_us:
+        qfrc = qfrc.at[dadr].add(gear_j * force[uj])
+    for u in tendon_us:
+        t = m.actuator_trnid[u]
+        qfrc = qfrc + m.tendon_moment[t] * (m.actuator_gear[u] * force[u])
 
-    return jnp.stack(forces), qfrc
+    return force, qfrc

@@ -87,11 +87,32 @@ def _point_jacobian_row(m: M.Model, meta, cdof, body: int,
     return J
 
 
+def ancestor_dof_mask(m: M.Model, meta) -> 'np.ndarray':
+    """Static (nbody, nv) 0/1 mask: dof k on the root->body kinematic chain.
+
+    Lets contact Jacobians for ALL contact points assemble as one batched
+    expression instead of per-contact Python loops over ancestor dofs.
+    """
+    import numpy as np
+    mask = np.zeros((m.nbody, m.nv), np.float32)
+    for b in range(m.nbody):
+        for k in meta.ancestor_dofs[b]:
+            mask[b, k] = 1.0
+    return mask
+
+
 def assemble(m: M.Model, meta, qpos, qvel, cdof,
              contact: Optional[Contact],
              site_xpos: Optional[jnp.ndarray] = None) -> \
         Optional[ConstraintSet]:
-    """Build the full constraint row set for one configuration."""
+    """Build the full constraint row set for one configuration.
+
+    Row groups (in sweep order): dof friction loss, tendon equality,
+    spatial-tendon limits, joint limits, contacts. The limit and contact
+    groups — the bulk on locomotion/manipulation models — are assembled as
+    single batched expressions with static index arrays; only the rare
+    tendon rows (<=2 per suite model) build row-by-row.
+    """
     import numpy as np
     dtype = qpos.dtype
     nv = m.nv
@@ -104,21 +125,28 @@ def assemble(m: M.Model, meta, qpos, qvel, cdof,
     mus = []
     friction_bounds = []
 
+    def n_rows_so_far():
+        n = 0
+        for r in rows_J:
+            n += r.shape[0] if r.ndim > 1 else 1
+        return n
+
     # ---- dof friction loss (finger spinner hinge) --------------------------
     fl_np = np.asarray(m.dof_frictionloss)
-    for k in range(nv):
-        if float(fl_np[k]) == 0.0:
-            continue
-        Jrow = jnp.zeros((nv,), dtype).at[k].set(1.0)
+    fl_idx = np.nonzero(fl_np)[0]
+    if len(fl_idx):
         kk, bb, dd = kbi(jnp.asarray([0.02, 1.0], dtype),
                          jnp.asarray([0.9, 0.95, 0.001, 0.5, 2.0], dtype),
                          jnp.zeros((), dtype), h)
-        blocks.append(('friction', len(rows_J)))
-        friction_bounds.append(m.dof_frictionloss[k])
-        rows_J.append(Jrow)
-        rows_aref.append(-bb * qvel[k])
-        rows_R.append((1.0 - dd) / dd)
-        rows_active.append(jnp.ones((), dtype))
+        J_fl = jnp.asarray(np.eye(nv, dtype=np.float32)[fl_idx], dtype)
+        base = n_rows_so_far()
+        for i, k in enumerate(fl_idx):
+            blocks.append(('friction', base + i))
+            friction_bounds.append(m.dof_frictionloss[int(k)])
+        rows_J.append(J_fl)
+        rows_aref.append(-bb * qvel[fl_idx])
+        rows_R.append(jnp.broadcast_to((1.0 - dd) / dd, (len(fl_idx),)))
+        rows_active.append(jnp.ones((len(fl_idx),), dtype))
 
     # ---- tendon equality constraints (manipulator hand coupling) -----------
     for (t, solref, solimp) in m.eq_tendon:
@@ -128,7 +156,7 @@ def assemble(m: M.Model, meta, qpos, qvel, cdof,
         kk, bb, dd = kbi(jnp.asarray(solref, dtype),
                          jnp.asarray(solimp, dtype), length, h)
         vel = Jrow @ qvel
-        blocks.append(('equality', len(rows_J)))
+        blocks.append(('equality', n_rows_so_far()))
         rows_J.append(Jrow)
         rows_aref.append(-bb * vel - kk * length)
         rows_R.append((1.0 - dd) / dd)
@@ -153,71 +181,85 @@ def assemble(m: M.Model, meta, qpos, qvel, cdof,
                          jnp.asarray([0.9, 0.95, 0.001, 0.5, 2.0], dtype),
                          jnp.minimum(pos, 0.0), h)
         vel = Jrow @ qvel
-        blocks.append(('limit', len(rows_J)))
+        blocks.append(('limit', n_rows_so_far()))
         rows_J.append(Jrow)
         rows_aref.append(-bb * vel - kk * jnp.minimum(pos, 0.0))
         rows_R.append((1.0 - dd) / dd)
         rows_active.append((pos < 0.0).astype(dtype))
 
-    # ---- joint limits -----------------------------------------------------
-    for j in _limited_joints(m):
-        qadr, dadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
-        lo, hi = m.jnt_range[j, 0], m.jnt_range[j, 1]
-        dist_lo = qpos[qadr] - lo
-        dist_hi = hi - qpos[qadr]
+    # ---- joint limits (batched over all limited joints) --------------------
+    lim = _limited_joints(m)
+    if lim:
+        lim_np = np.array(lim)
+        qadr = np.array([m.jnt_qposadr[j] for j in lim])
+        dadr = np.array([m.jnt_dofadr[j] for j in lim])
+        q = qpos[qadr]
+        lo = m.jnt_range[lim_np, 0]
+        hi = m.jnt_range[lim_np, 1]
+        dist_lo = q - lo
+        dist_hi = hi - q
         use_lo = dist_lo < dist_hi
         sign = jnp.where(use_lo, 1.0, -1.0).astype(dtype)
-        pos = jnp.where(use_lo, dist_lo, dist_hi) - m.jnt_margin[j]
-        Jrow = jnp.zeros((nv,), dtype).at[dadr].set(sign)
-        k, b, d = kbi(m.jnt_solref[j], m.jnt_solimp[j],
-                      jnp.minimum(pos, 0.0), h)
+        pos = jnp.where(use_lo, dist_lo, dist_hi) - m.jnt_margin[lim_np]
+        posc = jnp.minimum(pos, 0.0)
+        J_lim = (jnp.zeros((len(lim), nv), dtype)
+                 .at[np.arange(len(lim)), dadr].set(sign))
+        # kbi indexes solref/solimp along axis 0, so pass them transposed
+        # to broadcast over the joint batch.
+        k, b, d = kbi(m.jnt_solref[lim_np].T, m.jnt_solimp[lim_np].T,
+                      posc, h)
         vel = sign * qvel[dadr]
-        blocks.append(('limit', len(rows_J)))
-        rows_J.append(Jrow)
-        rows_aref.append(-b * vel - k * jnp.minimum(pos, 0.0))
+        base = n_rows_so_far()
+        for i in range(len(lim)):
+            blocks.append(('limit', base + i))
+        rows_J.append(J_lim)
+        rows_aref.append(-b * vel - k * posc)
         rows_R.append((1.0 - d) / d)    # scaled by diag(A) later
         rows_active.append((pos < 0.0).astype(dtype))
 
-    # ---- contacts -----------------------------------------------------------
+    # ---- contacts (batched over all contact points) -------------------------
     if contact is not None and len(contact.geom1):
-        for c in range(len(contact.geom1)):
-            b1 = m.geom_body[contact.geom1[c]]
-            b2 = m.geom_body[contact.geom2[c]]
-            point = contact.pos[c]
-            Jp = (_point_jacobian_row(m, meta, cdof, b2, point, nv)
-                  - _point_jacobian_row(m, meta, cdof, b1, point, nv))
-            frame = contact.frame[c]       # rows: n, t1, t2
-            Jc = frame @ Jp                # (3, nv)
-            pos = jnp.minimum(contact.dist[c], 0.0)
-            k, b, d = kbi(contact.solref[c], contact.solimp[c], pos, h)
-            vel = Jc @ qvel
-            active = (contact.dist[c] < 0.0).astype(dtype)
-            blocks.append(('contact', len(rows_J)))
-            # condim 1 => frictionless contact (mjModel geom_condim max rule)
-            cdim = max(m.geom_condim[contact.geom1[c]],
-                       m.geom_condim[contact.geom2[c]])
-            mus.append(contact.friction[c, 0] if cdim >= 3
-                       else jnp.zeros((), dtype))
-            # normal row
-            rows_J.append(Jc[0])
-            rows_aref.append(-b * vel[0] - k * pos)
-            rows_R.append((1.0 - d) / d)
-            rows_active.append(active)
-            # tangent rows (position term zero)
-            for t in (1, 2):
-                rows_J.append(Jc[t])
-                rows_aref.append(-b * vel[t])
-                rows_R.append((1.0 - d) / d)
-                rows_active.append(active)
+        C = len(contact.geom1)
+        body1 = np.array([m.geom_body[g] for g in contact.geom1])
+        body2 = np.array([m.geom_body[g] for g in contact.geom2])
+        amask = jnp.asarray(ancestor_dof_mask(m, meta), dtype)
+        # translational point jacobian for every contact at once:
+        # J[c, k, :] = cdof[k, 3:] + cross(cdof[k, :3], point[c])
+        Jt = cdof[None, :, 3:] + jnp.cross(
+            jnp.broadcast_to(cdof[None, :, :3], (C, nv, 3)),
+            contact.pos[:, None, :])                       # (C, nv, 3)
+        Jp = (Jt * amask[body2][:, :, None]
+              - Jt * amask[body1][:, :, None])             # (C, nv, 3)
+        Jc = jnp.einsum('cij,cvj->civ', contact.frame, Jp)  # (C, 3, nv)
+        pos = jnp.minimum(contact.dist, 0.0)
+        k, b, d = kbi(contact.solref.T, contact.solimp.T, pos, h)  # (C,)
+        vel = jnp.einsum('civ,v->ci', Jc, qvel)            # (C, 3)
+        active = (contact.dist < 0.0).astype(dtype)
+        base = n_rows_so_far()
+        cdim = np.array([max(m.geom_condim[g1], m.geom_condim[g2])
+                         for g1, g2 in zip(contact.geom1, contact.geom2)])
+        # condim 1 => frictionless contact (mjModel geom_condim max rule)
+        mu_all = contact.friction[:, 0] * jnp.asarray(cdim >= 3, dtype)
+        for c in range(C):
+            blocks.append(('contact', base + 3 * c))
+        mus.append(mu_all)
+        aref_con = jnp.stack([-b * vel[:, 0] - k * pos,
+                              -b * vel[:, 1],
+                              -b * vel[:, 2]], axis=1)      # (C, 3)
+        rows_J.append(Jc.reshape(3 * C, nv))
+        rows_aref.append(aref_con.reshape(3 * C))
+        rows_R.append(jnp.repeat((1.0 - d) / d, 3))
+        rows_active.append(jnp.repeat(active, 3))
 
     if not rows_J:
         return None
 
-    J = jnp.stack(rows_J)
-    aref = jnp.stack(rows_aref)
-    Rscale = jnp.stack(rows_R)
-    active = jnp.stack(rows_active)
-    mu = (jnp.stack(mus) if mus else jnp.zeros((0,), dtype))
+    J = jnp.concatenate([jnp.atleast_2d(r) for r in rows_J])
+    aref = jnp.concatenate([jnp.atleast_1d(r) for r in rows_aref])
+    Rscale = jnp.concatenate([jnp.atleast_1d(r) for r in rows_R])
+    active = jnp.concatenate([jnp.atleast_1d(r) for r in rows_active])
+    mu = (jnp.concatenate([jnp.atleast_1d(x) for x in mus]) if mus
+          else jnp.zeros((0,), dtype))
     return ConstraintSet(J, aref, Rscale, active, blocks, mu,
                          tuple(friction_bounds))
 
@@ -291,12 +333,11 @@ def solve(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
 def contact_forces(cs: Optional[ConstraintSet], f: Optional[jnp.ndarray],
                    n_contacts: int, dtype) -> jnp.ndarray:
     """Extract per-contact (normal, t1, t2) forces from the row solution."""
-    out = jnp.zeros((n_contacts, 3), dtype)
     if cs is None or f is None:
-        return out
-    ci = 0
-    for kind, i0 in cs.blocks:
-        if kind == 'contact':
-            out = out.at[ci].set(f[i0:i0 + 3])
-            ci += 1
-    return out
+        return jnp.zeros((n_contacts, 3), dtype)
+    import numpy as np
+    i0s = np.array([i0 for kind, i0 in cs.blocks if kind == 'contact'],
+                   dtype=np.int64)
+    if not len(i0s):
+        return jnp.zeros((n_contacts, 3), dtype)
+    return f[i0s[:, None] + np.arange(3)]

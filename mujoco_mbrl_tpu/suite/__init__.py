@@ -22,8 +22,8 @@ from . import base, control, randomizers, registry, rewards
 from .control import Environment, EnvState, TimeStep, flatten_observation
 
 _DOMAINS = ('acrobot', 'ball_in_cup', 'cartpole', 'cheetah', 'finger',
-            'fish', 'hopper', 'humanoid', 'lqr', 'pendulum', 'point_mass',
-            'reacher', 'swimmer', 'walker')
+            'fish', 'hopper', 'humanoid', 'lqr', 'manipulator', 'pendulum',
+            'point_mass', 'reacher', 'swimmer', 'walker')
 
 
 def _get_domain(domain_name: str):
