@@ -27,6 +27,7 @@ import jax.numpy as jnp
 def build_bench(task: str, B: int, K: int, H: int, cem_iters: int,
                 steps: int):
     from mujoco_mbrl_tpu import models, planners, suite
+    from mujoco_mbrl_tpu.ops import mlp_rollout_costs_t
 
     domain, task_name = task.rsplit('_', 1)
     env = suite.load(domain, task_name)
@@ -41,15 +42,25 @@ def build_bench(task: str, B: int, K: int, H: int, cem_iters: int,
     goal = jnp.zeros(obs_dim).at[1].set(1.0)
     weights = jnp.ones(obs_dim)
 
-    def plan_one(params, obs, key):
+    def plan_batch(params, obs, key):
         model_fn = lambda s, a: model.forward(params, s, a)
         cost = lambda states, actions: (
             models.smooth_abs_loss(states, goal, weights)
             + models.cosh_loss(actions))
-        traj = planners.cem(key, obs, model_fn, cost, horizon=H,
-                            action_dim=act_dim, num_candidates=K,
-                            num_elites=max(K // 10, 1),
-                            num_iterations=cem_iters)
+        # The fused Pallas rollout wins when the feature dims carry real
+        # MXU work; for very small models (cartpole: 5+1 dims) the XLA
+        # scan path is faster — tile padding dominates the kernel.
+        if obs_dim + act_dim >= 16:
+            rc = lambda s0T, actsT: mlp_rollout_costs_t(
+                params, s0T, actsT, goal, weights,
+                tile=4096, compute_dtype=jnp.bfloat16)
+        else:
+            rc = None
+        traj = planners.cem_batched(
+            key, obs, model_fn, cost, horizon=H, action_dim=act_dim,
+            num_candidates=K, num_elites=max(K // 10, 1),
+            num_iterations=cem_iters, rollout_costs_fn=rc,
+            return_states=False)
         return traj.actions[0]
 
     def run(params, env_state, key):
@@ -58,9 +69,7 @@ def build_bench(task: str, B: int, K: int, H: int, cem_iters: int,
             obs = jax.vmap(lambda s: suite.flatten_observation(
                 env._observe(env._model_with(s.params), s.physics,
                              s.params)))(env_state)
-            keys = jax.random.split(k, B)
-            actions = jax.vmap(plan_one, in_axes=(None, 0, 0))(
-                params, obs, keys)
+            actions = plan_batch(params, obs, k)
             env_state, ts = jax.vmap(env.step)(env_state, actions)
             return env_state, ts.reward.mean()
 

@@ -1,0 +1,241 @@
+"""Fused CEM candidate-rollout kernel (Pallas, TPU).
+
+The planner hot loop (SURVEY §3.3: K candidates x H horizon model forwards
+per control step) is HBM-bandwidth-bound when written as `lax.scan` over
+separate matmul kernels: every step round-trips (K, hidden) activations
+through HBM — ~3 GB per CEM iteration at production sizes (K=1000, H=30,
+B=128 envs). This kernel keeps the entire H-step rollout of a candidate
+tile resident in VMEM: HBM traffic collapses to reading s0 + the action
+sequences and writing one cost per candidate (~25x less), and the MLP
+matmuls run back-to-back on the MXU.
+
+Layout: everything is TRANSPOSED — candidates ride the lane (last) axis,
+features ride sublanes. A (H, tile, action_dim) block would pad its
+6-wide action axis to 128 lanes (21x VMEM waste, out-of-memory at
+production tiles); as (H, action_dim, tile) the tile is lane-aligned and
+the whole working set is ~1 MB. Matmuls run as W^T @ x with the feature
+contraction on sublanes, which the MXU handles natively.
+
+Cost model fused in: the GoalStateAgent planning cost
+(reference src/mbrl/models.py:244-272) — smooth-abs state cost to a goal
+plus cosh action cost. Dataset normalization (agents.py:218-230) is an
+affine map, so it folds into the first/last layer weights ahead of the
+kernel (`_fold_normalizers`) and costs nothing per step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fold_normalizers(params, normalizers):
+    """Fold affine (un)normalization into the MLP weights.
+
+    norm(x) = (x - mu) / sigma  =>  W1' = W1 / sigma[:, None],
+                                    b1' = b1 - (mu / sigma) @ W1
+    unnorm(y) = y * sigma + mu  =>  W3' = W3 * sigma[None, :],
+                                    b3' = b3 * sigma + mu
+    """
+    w1, b1 = params['l1']['w'], params['l1']['b']
+    w2, b2 = params['l2']['w'], params['l2']['b']
+    w3, b3 = params['l3']['w'], params['l3']['b']
+    if normalizers is not None and normalizers.state_mean is not None:
+        sd = normalizers.state_mean.shape[-1]
+        s_mu, s_sig = normalizers.state_mean, normalizers.state_std + 1e-6
+        if normalizers.action_mean is not None:
+            a_mu = normalizers.action_mean
+            a_sig = normalizers.action_std + 1e-6
+        else:
+            a_mu = jnp.zeros(w1.shape[0] - sd, w1.dtype)
+            a_sig = jnp.ones(w1.shape[0] - sd, w1.dtype)
+        mu = jnp.concatenate([s_mu, a_mu])
+        sig = jnp.concatenate([s_sig, a_sig])
+        b1 = b1 - (mu / sig) @ w1
+        w1 = w1 / sig[:, None]
+        b3 = b3 * s_sig + s_mu
+        w3 = w3 * s_sig[None, :]
+    return w1, b1, w2, b2, w3, b3
+
+
+def _kernel(s0_ref, act_ref, w1sT_ref, w1aT_ref, b1_ref, w2T_ref, b2_ref,
+            w3T_ref, b3_ref, goal_ref, wvec_ref, out_ref, *,
+            horizon: int, alpha_state: float, alpha_action: float):
+    """Transposed rollout: s (sd, tile), actions (H, ad, tile)."""
+    s = s0_ref[:]                                     # (sd, tile)
+
+    def body(t, carry):
+        s, acc = carry
+        a = act_ref[t]                                # (ad, tile)
+        # h = relu(W1^T [s; a] + b1), first layer split to avoid concat.
+        # MXU accumulators must be 32-bit; inputs may be bf16 (double
+        # rate), so accumulate f32 and cast back between layers.
+        dt = s.dtype
+        h = (jnp.dot(w1sT_ref[:], s, preferred_element_type=jnp.float32)
+             + jnp.dot(w1aT_ref[:], a, preferred_element_type=jnp.float32)
+             + b1_ref[:])
+        h = jnp.maximum(h, 0.0).astype(dt)
+        h = jnp.maximum(
+            jnp.dot(w2T_ref[:], h, preferred_element_type=jnp.float32)
+            + b2_ref[:], 0.0).astype(dt)
+        s = (jnp.dot(w3T_ref[:], h, preferred_element_type=jnp.float32)
+             + b3_ref[:]).astype(dt)
+        # smooth-abs state cost + cosh action cost (models.py:244-272);
+        # cost math and accumulation in f32 even when the network runs
+        # bf16, so elite ranking stays sharp over long horizons
+        d = ((s - goal_ref[:]) * wvec_ref[:]).astype(jnp.float32)
+        c_state = jnp.sum(
+            jnp.sqrt(d * d + alpha_state * alpha_state) - alpha_state,
+            axis=0, keepdims=True)                    # (1, tile)
+        # cosh has no Pallas TPU lowering; write it as exponentials
+        u = (a / alpha_action).astype(jnp.float32)
+        cosh_u = 0.5 * (jnp.exp(u) + jnp.exp(-u))
+        c_act = (alpha_action ** 2) * jnp.mean(
+            cosh_u - 1.0, axis=0, keepdims=True)
+        return s, acc + c_state + c_act
+
+    acc0 = jnp.zeros((1, s.shape[1]), jnp.float32)
+    s, acc = jax.lax.fori_loop(0, horizon, body, (s, acc0))
+    out_ref[:] = acc
+
+
+def mlp_rollout_costs_reference(params, s0, actions, goal, weights,
+                                normalizers=None, alpha_state: float = 0.4,
+                                alpha_action: float = 0.25) -> jnp.ndarray:
+    """Pure-jnp reference: scan rollout + accumulated cost. Used on CPU
+    and as the parity oracle for the Pallas kernel."""
+    w1, b1, w2, b2, w3, b3 = _fold_normalizers(params, normalizers)
+
+    def step(carry, a):
+        s, acc = carry
+        x = jnp.concatenate([s, a], axis=-1)
+        h = jax.nn.relu(x @ w1 + b1)
+        h = jax.nn.relu(h @ w2 + b2)
+        s = h @ w3 + b3
+        d = (s - goal) * weights
+        c = (jnp.sum(jnp.sqrt(d * d + alpha_state ** 2) - alpha_state,
+                     axis=-1)
+             + alpha_action ** 2 * jnp.mean(
+                 jnp.cosh(a / alpha_action) - 1.0, axis=-1))
+        return (s, acc + c), None
+
+    zero = jnp.zeros(s0.shape[:-1], s0.dtype)
+    (s, costs), _ = jax.lax.scan(step, (s0, zero), actions)
+    return costs
+
+
+def _supports_pallas() -> bool:
+    platform = jax.devices()[0].platform
+    return platform in ('tpu', 'axon')
+
+
+@functools.partial(jax.jit, static_argnames=('alpha_state', 'alpha_action',
+                                             'tile', 'interpret'))
+def _pallas_costs(s0T, actionsT, w1sT, w1aT, b1, w2T, b2, w3T, b3, goal,
+                  wvec, alpha_state: float, alpha_action: float, tile: int,
+                  interpret: bool):
+    sd, K = s0T.shape
+    H, ad, _ = actionsT.shape
+    Kp = ((K + tile - 1) // tile) * tile
+    if Kp != K:
+        s0T = jnp.pad(s0T, ((0, 0), (0, Kp - K)))
+        actionsT = jnp.pad(actionsT, ((0, 0), (0, 0), (0, Kp - K)))
+
+    kern = functools.partial(_kernel, horizon=H, alpha_state=alpha_state,
+                             alpha_action=alpha_action)
+    full2 = lambda i: (0, 0)
+    costs = pl.pallas_call(
+        kern,
+        grid=(Kp // tile,),
+        in_specs=[
+            pl.BlockSpec((sd, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, ad, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w1sT.shape, full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w1aT.shape, full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b1.shape, full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w2T.shape, full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b2.shape, full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w3T.shape, full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b3.shape, full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(goal.shape, full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(wvec.shape, full2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, Kp), jnp.float32),
+        interpret=interpret,
+    )(s0T, actionsT, w1sT, w1aT, b1, w2T, b2, w3T, b3, goal, wvec)
+    return costs[0, :K]
+
+
+def mlp_rollout_costs_t(params, s0T, actionsT, goal, weights,
+                        normalizers=None, alpha_state: float = 0.4,
+                        alpha_action: float = 0.25, tile: int = 1024,
+                        compute_dtype=None,
+                        interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Kernel-native-layout variant: s0T (sd, N), actionsT (H, ad, N).
+
+    planners.cem_batched builds candidates directly in this layout so no
+    transposed copy of the (H, ad, N) action tensor is ever materialized.
+    `compute_dtype=jnp.bfloat16` runs the MLP matmuls at the MXU's double
+    bf16 rate (costs still accumulate in f32); planner rollouts tolerate
+    it — the dynamics model is learned and approximate to begin with.
+    """
+    if interpret is None:
+        if not _supports_pallas():
+            return mlp_rollout_costs_reference(
+                params, s0T.T, actionsT.transpose(0, 2, 1), goal, weights,
+                normalizers, alpha_state, alpha_action)
+        interpret = False
+    w1, b1, w2, b2, w3, b3 = _fold_normalizers(params, normalizers)
+    sd = s0T.shape[0]
+    if compute_dtype is not None:
+        s0T = s0T.astype(compute_dtype)
+        actionsT = actionsT.astype(compute_dtype)
+        w1, b1, w2, b2, w3, b3 = (x.astype(compute_dtype)
+                                  for x in (w1, b1, w2, b2, w3, b3))
+        goal = goal.astype(compute_dtype)
+        weights = weights.astype(compute_dtype)
+    return _pallas_costs(s0T, actionsT,
+                         w1[:sd].T, w1[sd:].T, b1[:, None], w2.T,
+                         b2[:, None], w3.T, b3[:, None], goal[:, None],
+                         weights[:, None], alpha_state, alpha_action,
+                         tile, bool(interpret))
+
+
+def mlp_rollout_costs(params, s0, actions, goal, weights,
+                      normalizers=None, alpha_state: float = 0.4,
+                      alpha_action: float = 0.25, tile: int = 1024,
+                      compute_dtype=None,
+                      interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Total planning cost per candidate, fused rollout (TPU Pallas).
+
+    Args:
+      params: MLPDynamics param pytree ({'l1','l2','l3'} dense layers).
+      s0: (K, state_dim) initial states (one per candidate).
+      actions: (H, K, action_dim) candidate action sequences.
+      goal, weights: goal state and per-dim cost weights (state_dim,).
+      normalizers: optional models.Normalizers, folded into the weights.
+    Returns:
+      (K,) total smooth-abs + cosh costs over the horizon.
+
+    Falls back to the jnp reference off-TPU (or with interpret=True runs
+    the kernel in interpreter mode for parity tests). For whole-env-batch
+    planning fold the env axis into K first (planners.cem_batched does).
+    """
+    if interpret is None and not _supports_pallas():
+        return mlp_rollout_costs_reference(
+            params, s0, actions, goal, weights, normalizers,
+            alpha_state, alpha_action)
+    return mlp_rollout_costs_t(params, s0.T, actions.transpose(0, 2, 1),
+                               goal, weights, normalizers, alpha_state,
+                               alpha_action, tile, compute_dtype,
+                               interpret)

@@ -43,7 +43,19 @@ def forward(m: M.Model, state: M.State, ctrl: jnp.ndarray,
     soft-constraint set and solved with fixed-iteration projected
     Gauss-Seidel (physics.solver). Contact candidate pairs are static per
     model (physics.collision), so the whole pass has fixed shapes.
+
+    All matmuls trace at HIGHEST precision: on TPU the default bf16 MXU
+    passes lose ~3 decimal digits, enough to make the mass matrix
+    indefinite near singular configurations (Cholesky -> NaN). Physics is
+    precision-critical; the planner/model matmuls elsewhere keep the fast
+    default.
     """
+    with jax.default_matmul_precision('highest'):
+        return _forward(m, state, ctrl, contact_fn)
+
+
+def _forward(m: M.Model, state: M.State, ctrl: jnp.ndarray,
+             contact_fn=None) -> M.Data:
     meta = smooth.tree_meta(m)
     qpos, qvel = state.qpos, state.qvel
 
@@ -84,7 +96,9 @@ def forward(m: M.Model, state: M.State, ctrl: jnp.ndarray,
 
     cs = solver_mod.assemble(m, meta, qpos, qvel, cdof, contact,
                              site_xpos=site_xpos)
-    qfrc_constraint, f_rows = solver_mod.solve(m, cs, qM_chol, qacc_smooth)
+    solve_fn = (solver_mod.solve_apgd if m.opt.solver == 'apgd'
+                else solver_mod.solve)
+    qfrc_constraint, f_rows = solve_fn(m, cs, qM_chol, qacc_smooth)
     qacc = qacc_smooth + jax.scipy.linalg.cho_solve(qM_chol, qfrc_constraint)
 
     n_con = len(contact.geom1) if contact is not None else 0
@@ -183,9 +197,10 @@ def _rk4(m: M.Model, state: M.State, ctrl, contact_fn) -> M.State:
 def step(m: M.Model, state: M.State, ctrl: jnp.ndarray,
          contact_fn=None) -> M.State:
     """Advance physics by one timestep (pure; jit/vmap/scan-safe)."""
-    if m.opt.integrator == M.RK4:
-        return _rk4(m, state, ctrl, contact_fn)
-    return _euler(m, state, ctrl, contact_fn)
+    with jax.default_matmul_precision('highest'):
+        if m.opt.integrator == M.RK4:
+            return _rk4(m, state, ctrl, contact_fn)
+        return _euler(m, state, ctrl, contact_fn)
 
 
 class PhysicsError(RuntimeError):

@@ -61,6 +61,11 @@ class Option:
     disableflags: int = struct.field(pytree_node=False, default=0)
     # Constraint solver controls (fixed-iteration, XLA-friendly).
     solver_iterations: int = struct.field(pytree_node=False, default=30)
+    # 'apgd' = accelerated projected gradient (default: every iteration is
+    # one dense batched matvec -> MXU-friendly, ~3x faster than a
+    # row-sequential sweep on TPU); 'pgs' = projected Gauss-Seidel
+    # (reference-faithful row ordering, kept for cross-validation).
+    solver: str = struct.field(pytree_node=False, default='apgd')
     # Geom-geom (non-plane) contact pairs: off by default — the planar
     # locomotion suite filters them via conaffinity anyway; enable for
     # models that need self-collision.

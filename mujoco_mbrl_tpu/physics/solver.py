@@ -330,6 +330,96 @@ def solve(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
     return cs.J.T @ f, f
 
 
+def _row_structure(cs: ConstraintSet):
+    """Static row-type index arrays derived from the block list."""
+    import numpy as np
+    nonneg, box_rows, con0 = [], [], []
+    for kind, i0 in cs.blocks:
+        if kind == 'limit':
+            nonneg.append(i0)
+        elif kind == 'friction':
+            box_rows.append(i0)
+        elif kind == 'contact':
+            con0.append(i0)
+    return (np.array(nonneg, np.int64), np.array(box_rows, np.int64),
+            np.array(con0, np.int64))
+
+
+def solve_apgd(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
+               qacc_smooth: jnp.ndarray,
+               iterations: Optional[int] = None) -> jnp.ndarray:
+    """Accelerated projected gradient descent on the dual QP.
+
+    Solves the same problem as :func:`solve` —
+    min 1/2 f'(A+R)f - f'rhs over the constraint cone — but every
+    iteration is ONE dense (nr, nr) matvec plus a closed-form projection,
+    all rows in parallel. Under ``vmap`` over an env batch the matvec is a
+    batched matmul on the MXU, whereas Gauss-Seidel's row-sequential sweep
+    is thousands of latency-bound scalar ops. Friction cones use the exact
+    second-order-cone projection; Nesterov momentum with adaptive restart
+    recovers most of GS's per-iteration convergence.
+    """
+    if cs is None:
+        return jnp.zeros_like(qacc_smooth), None
+    iterations = iterations or 2 * m.opt.solver_iterations
+    dtype = qacc_smooth.dtype
+
+    MinvJT = jax.scipy.linalg.cho_solve(qM_chol, cs.J.T)   # (nv, nr)
+    A = cs.J @ MinvJT                                      # (nr, nr)
+    diagA = jnp.maximum(jnp.diag(A), 1e-10)
+    Ad = A + jnp.diag(cs.R * diagA)
+    rhs = (cs.aref - cs.J @ qacc_smooth) * cs.active
+    # Gershgorin upper bound on the spectral radius -> safe step size
+    L = jnp.maximum(jnp.max(jnp.sum(jnp.abs(Ad), axis=1)), 1e-10)
+
+    nonneg, box_rows, con0 = _row_structure(cs)
+    bounds = (jnp.stack([jnp.asarray(b, dtype)
+                         for b in cs.friction_bounds])
+              if len(box_rows) else None)
+
+    def proj(f):
+        if len(nonneg):
+            f = f.at[nonneg].set(jnp.maximum(f[nonneg], 0.0))
+        if len(box_rows):
+            f = f.at[box_rows].set(jnp.clip(f[box_rows], -bounds, bounds))
+        if len(con0):
+            fn = f[con0]
+            ft1 = f[con0 + 1]
+            ft2 = f[con0 + 2]
+            t = jnp.sqrt(ft1 * ft1 + ft2 * ft2)
+            mu = cs.mu
+            inside = t <= mu * fn
+            apex = mu * t + fn <= 0.0
+            fn_s = jnp.where(inside, fn,
+                             jnp.where(apex, 0.0,
+                                       (fn + mu * t) / (1.0 + mu * mu)))
+            tscale = jnp.where(inside, 1.0,
+                               jnp.where(apex, 0.0,
+                                         mu * fn_s / jnp.maximum(t, 1e-12)))
+            f = f.at[con0].set(fn_s)
+            f = f.at[con0 + 1].set(ft1 * tscale)
+            f = f.at[con0 + 2].set(ft2 * tscale)
+        return f * cs.active
+
+    f0 = jnp.zeros((cs.J.shape[0],), dtype)
+
+    def body(_, carry):
+        f, y, theta = carry
+        g = Ad @ y - rhs
+        f_new = proj(y - g / L)
+        theta_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * theta * theta))
+        beta = (theta - 1.0) / theta_new
+        # adaptive restart: drop momentum when it points against descent
+        restart = jnp.sum((y - f_new) * (f_new - f)) > 0.0
+        beta = jnp.where(restart, 0.0, beta)
+        y_new = f_new + beta * (f_new - f)
+        return f_new, y_new, jnp.where(restart, 1.0, theta_new)
+
+    f, _, _ = jax.lax.fori_loop(
+        0, iterations, body, (f0, f0, jnp.ones((), dtype)))
+    return cs.J.T @ f, f
+
+
 def contact_forces(cs: Optional[ConstraintSet], f: Optional[jnp.ndarray],
                    n_contacts: int, dtype) -> jnp.ndarray:
     """Extract per-contact (normal, t1, t2) forces from the row solution."""

@@ -20,14 +20,15 @@ and return `(states, actions)` trajectories like ModelPlanner.plan
 (planners.py:14-25).
 """
 
-from .shooting import Trajectory, random_shooting, cem
+from .shooting import Trajectory, random_shooting, cem, cem_batched
 from .gradient import gradient_descent
 from .ilqr import ilqr
 from .api import (ModelPlanner, RandomShootingPlanner, CEMPlanner,
                   GradientDescentPlanner, ILQRPlanner)
 
 __all__ = [
-    'Trajectory', 'random_shooting', 'cem', 'gradient_descent', 'ilqr',
+    'Trajectory', 'random_shooting', 'cem', 'cem_batched',
+    'gradient_descent', 'ilqr',
     'ModelPlanner', 'RandomShootingPlanner', 'CEMPlanner',
     'GradientDescentPlanner', 'ILQRPlanner',
 ]

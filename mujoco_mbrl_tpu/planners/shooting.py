@@ -41,6 +41,28 @@ def _total_costs(cost: Callable, states: jnp.ndarray,
     return c.sum(axis=0)
 
 
+def _rollout_costs(model: Callable, cost: Callable,
+                   initial_state: jnp.ndarray,
+                   actions: jnp.ndarray) -> jnp.ndarray:
+    """Total per-candidate cost WITHOUT materializing the state trajectory.
+
+    Equivalent to ``_total_costs(cost, rollout_actions(...), actions)`` but
+    the cost accumulates inside the scan, so the (H, K, state_dim) tensor —
+    gigabytes of HBM traffic at production candidate counts — never exists.
+    `cost` broadcasts over leading axes (all suite cost modules do), so the
+    same callable evaluates one (K, dim) step at a time.
+    """
+    def step(carry, a):
+        s, acc = carry
+        s_next = model(s, a)
+        acc = acc + cost(s_next, a)
+        return (s_next, acc), None
+
+    zero = jnp.zeros(initial_state.shape[:-1], initial_state.dtype)
+    (_, costs), _ = jax.lax.scan(step, (initial_state, zero), actions)
+    return costs
+
+
 def random_shooting(key: jax.Array, initial_state: jnp.ndarray,
                     model: Callable, cost: Callable,
                     sample_action: Callable, horizon: int,
@@ -61,12 +83,14 @@ def random_shooting(key: jax.Array, initial_state: jnp.ndarray,
 
     states0 = jnp.broadcast_to(
         initial_state, (num_trajectories,) + initial_state.shape)
-    states = rollout_actions(model, states0, actions)   # (H, K, sd)
-    costs = _total_costs(cost, states, actions)         # (K,)
+    costs = _rollout_costs(cost=cost, model=model, initial_state=states0,
+                           actions=actions)             # (K,)
     best = jnp.argmin(costs)
+    best_actions = actions[:, best]
+    best_states = rollout_actions(model, initial_state, best_actions)
     traj_states = jnp.concatenate(
-        [initial_state[None], states[:, best]], axis=0)
-    return Trajectory(states=traj_states, actions=actions[:, best])
+        [initial_state[None], best_states], axis=0)
+    return Trajectory(states=traj_states, actions=best_actions)
 
 
 def cem(key: jax.Array, initial_state: jnp.ndarray, model: Callable,
@@ -95,8 +119,9 @@ def cem(key: jax.Array, initial_state: jnp.ndarray, model: Callable,
         eps = jax.random.normal(ikey, (H, K, ad), initial_state.dtype)
         actions = jnp.clip(mean[:, None] + std[:, None] * eps,
                            action_low, action_high)
-        states = rollout_actions(model, states0, actions)
-        costs = _total_costs(cost, states, actions)          # (K,)
+        costs = _rollout_costs(cost=cost, model=model,
+                               initial_state=states0,
+                               actions=actions)              # (K,)
         _, elite_idx = jax.lax.top_k(-costs, num_elites)
         elite_actions = actions[:, elite_idx]                # (H, E, ad)
         new_mean = elite_actions.mean(axis=1)
@@ -113,3 +138,93 @@ def cem(key: jax.Array, initial_state: jnp.ndarray, model: Callable,
     traj_states = jnp.concatenate([initial_state[None], final_states],
                                   axis=0)
     return Trajectory(states=traj_states, actions=final_actions)
+
+
+def cem_batched(key: jax.Array, initial_states: jnp.ndarray,
+                model: Callable, cost: Callable, horizon: int,
+                action_dim: int,
+                num_candidates: int = 1000, num_elites: int = 100,
+                num_iterations: int = 5,
+                init_mean: Optional[jnp.ndarray] = None,
+                init_std: float = 1.0,
+                action_low: float = -1.0, action_high: float = 1.0,
+                min_std: float = 1e-2, alpha: float = 0.1,
+                rollout_costs_fn: Optional[Callable] = None,
+                return_states: bool = True) -> Trajectory:
+    """CEM for a whole env batch in ONE call (the lockstep-MPC hot path).
+
+    Identical per-env semantics to `vmap(cem)`, but the env axis folds into
+    the candidate axis for the rollout-cost evaluation, so a fused kernel
+    (ops.mlp_rollout_costs_t, passed as `rollout_costs_fn(s0T (sd, N),
+    actionsT (H, ad, N)) -> (N,)`) sees one (B*K)-row problem — a shape
+    Pallas grids over directly, where vmap-of-pallas_call would blow the
+    VMEM budget. Candidates are generated directly in the kernel's
+    transposed layout (candidates on the trailing/lane axis) so no
+    multi-hundred-MB transposed copy is ever materialized. Elite
+    selection/refit stay per env.
+
+    Args:
+      initial_states: (B, state_dim).
+      init_mean: optional (B, H, action_dim) warm-start means.
+      return_states: when False, skip re-rolling the final mean through
+        the model (a latency-bound H-step scan) and return states=None —
+        MPC warm starts only consume `actions`.
+    Returns:
+      Trajectory with states (H+1, B, sd) (or None) and actions
+      (H, B, ad).
+    """
+    H, ad, K = horizon, action_dim, num_candidates
+    B, sd = initial_states.shape
+    dtype = initial_states.dtype
+    mean = (init_mean if init_mean is not None
+            else jnp.zeros((B, H, ad), dtype))
+    std = jnp.full((B, H, ad), init_std, dtype)
+    # kernel-layout initial states: (sd, B*K), candidates on lanes
+    s0T = jnp.broadcast_to(initial_states.T[:, :, None],
+                           (sd, B, K)).reshape(sd, B * K)
+
+    def total_costs(actions):
+        """actions: (H, ad, B, K) -> (B, K) total costs."""
+        flat = actions.reshape(H, ad, B * K)
+        if rollout_costs_fn is not None:
+            return rollout_costs_fn(s0T, flat).reshape(B, K)
+        return _rollout_costs(cost=cost, model=model,
+                              initial_state=s0T.T,
+                              actions=flat.transpose(0, 2, 1)
+                              ).reshape(B, K)
+
+    def iteration(carry, ikey):
+        mean, std = carry                               # (B, H, ad)
+        mean_t = mean.transpose(1, 2, 0)                # (H, ad, B)
+        std_t = std.transpose(1, 2, 0)
+        eps = jax.random.normal(ikey, (H, ad, B, K), dtype)
+        actions = jnp.clip(mean_t[..., None] + std_t[..., None] * eps,
+                           action_low, action_high)     # (H, ad, B, K)
+        costs = total_costs(actions)                    # (B, K)
+        _, elite_idx = jax.lax.top_k(-costs, num_elites)  # (B, E)
+        # Elite mean/std via a masked reduction over K instead of a
+        # take_along_axis gather: gathering (H, ad, B, E) from the
+        # hundreds-of-MB action tensor costs ~4 ms/iteration on TPU,
+        # while two fused masked reductions are one streaming pass.
+        member = jnp.zeros((B, K), dtype).at[
+            jnp.arange(B)[:, None], elite_idx].set(1.0)
+        sum1 = jnp.einsum('hdbk,bk->bhd', actions, member)
+        sum2 = jnp.einsum('hdbk,hdbk,bk->bhd', actions, actions, member)
+        new_mean = sum1 / num_elites
+        var = jnp.maximum(sum2 / num_elites - new_mean * new_mean, 0.0)
+        new_std = jnp.sqrt(var)
+        mean = alpha * mean + (1 - alpha) * new_mean
+        std = jnp.maximum(alpha * std + (1 - alpha) * new_std, min_std)
+        return (mean, std), None
+
+    (mean, std), _ = jax.lax.scan(
+        iteration, (mean, std), jax.random.split(key, num_iterations))
+
+    final_actions = jnp.clip(mean, action_low, action_high)  # (B, H, ad)
+    acts_t = final_actions.transpose(1, 0, 2)                # (H, B, ad)
+    if not return_states:
+        return Trajectory(states=None, actions=acts_t)
+    final_states = rollout_actions(model, initial_states, acts_t)
+    traj_states = jnp.concatenate([initial_states[None], final_states],
+                                  axis=0)
+    return Trajectory(states=traj_states, actions=acts_t)
