@@ -50,7 +50,8 @@ class MPCPolicy:
 
     def __init__(self, model: Callable, cost: Callable, planner,
                  sample_action: Callable, horizon: int, action_dim: int,
-                 obs_dim: int, planner_kwargs: Optional[dict] = None):
+                 obs_dim: int, planner_kwargs: Optional[dict] = None,
+                 plan_on_observations: bool = True):
         self.model = model
         self.cost = cost
         self.planner = planner
@@ -59,6 +60,11 @@ class MPCPolicy:
         self.action_dim = action_dim
         self.obs_dim = obs_dim
         self.planner_kwargs = planner_kwargs or {}
+        # Planning space: flat observations (reference obs_only mode) or
+        # the wrapper's feature-engineered state (whose dims the per-domain
+        # goals/weights live in — the reference left this inconsistent,
+        # env_wrappers.py:8 TODO; locomotion domains need state space).
+        self.plan_on_observations = plan_on_observations
 
     def init_carry(self):
         H = self.horizon
@@ -67,6 +73,8 @@ class MPCPolicy:
                              actions=jnp.zeros((H, self.action_dim))))
 
     def __call__(self, key, t, state_vec, obs_vec, carry):
+        if not self.plan_on_observations:
+            obs_vec = state_vec
         valid, last = carry
         valid = jnp.logical_and(valid, t != 0)
         kf, kp = jax.random.split(key)
@@ -84,6 +92,59 @@ class MPCPolicy:
             self.horizon, initial_trajectory=init_traj, key=kp,
             **self.planner_kwargs)
         return traj.actions[0], (jnp.ones((), jnp.bool_), traj)
+
+
+class BatchedMPCPolicy:
+    """Whole-env-batch MPC policy over planners.cem_batched.
+
+    Protocol for EnvWrapper.get_rollouts_batched:
+    `policy(key, t, state_mat (B, sd), obs_mat (B, od), carry) ->
+    (actions (B, ad), carry)`. One planner call per control step plans for
+    every env, so the candidate rollouts fold into a single (B*K)-row
+    problem — the shape the fused Pallas kernel (ops.mlp_rollout_costs_t)
+    grids over. Warm start mirrors MPCPolicy: the previous plan's actions
+    seed the CEM mean, invalidated at t == 0 (agents.py:39-47).
+    """
+
+    def __init__(self, model: Callable, cost: Callable, horizon: int,
+                 action_dim: int, num_envs: int,
+                 planner_kwargs: Optional[dict] = None,
+                 rollout_costs_fn: Optional[Callable] = None,
+                 plan_on_observations: bool = True):
+        self.model = model
+        self.cost = cost
+        self.horizon = horizon
+        self.action_dim = action_dim
+        self.num_envs = num_envs
+        cfg = {**P.CEMPlanner.defaults, **(planner_kwargs or {})}
+        cfg.pop('action_dim', None)
+        self.cfg = cfg
+        self.rollout_costs_fn = rollout_costs_fn
+        self.plan_on_observations = plan_on_observations
+
+    def init_carry(self):
+        return (jnp.zeros((), jnp.bool_),
+                jnp.zeros((self.horizon, self.num_envs, self.action_dim)))
+
+    def __call__(self, key, t, state_mat, obs_mat, carry):
+        if not self.plan_on_observations:
+            obs_mat = state_mat
+        valid, last_actions = carry
+        valid = jnp.logical_and(valid, t != 0)
+        init_mean = jnp.where(valid, last_actions,
+                              jnp.zeros_like(last_actions))
+        traj = P.cem_batched(
+            key, obs_mat, self.model, self.cost, self.horizon,
+            self.action_dim,
+            num_candidates=self.cfg['num_candidates'],
+            num_elites=self.cfg['num_elites'],
+            num_iterations=self.cfg['num_iterations'],
+            init_mean=init_mean.transpose(1, 0, 2),
+            action_low=self.cfg['action_low'],
+            action_high=self.cfg['action_high'],
+            rollout_costs_fn=self.rollout_costs_fn,
+            return_states=False)
+        return traj.actions[0], (jnp.ones((), jnp.bool_), traj.actions)
 
 
 def save(agent: 'MPCAgent', path: str) -> None:
@@ -130,6 +191,10 @@ class MPCAgent:
         self.params = model.init(self._next_key())
         self.opt_state = optimizer.init(self.params)
         self.train_iterations = 0
+        # Model/planning data stream: observations (reference obs_only
+        # mode, agents.py:218) or the wrapper's featured states. Subclasses
+        # may flip this (GoalStateAgent matches the goal's space).
+        self.obs_only = True
 
         if dataset is None:
             # reference default: 10k transitions capacity (agents.py:81)
@@ -195,14 +260,19 @@ class MPCAgent:
         self.writer.add_histogram(f'RolloutRewards/{rollout_type}',
                                   sums, self.train_iterations)
 
+    def _normalizers(self):
+        return Mo.train.make_normalizers(self.dataset,
+                                         use_observations=self.obs_only)
+
     def fit_model(self):
         """One model-fitting phase on the current replay buffer."""
-        norms = Mo.train.make_normalizers(self.dataset)
+        norms = self._normalizers()
         self.params, self.opt_state, log = jax.jit(
             lambda p, o, buf, k: Mo.train_model(
                 self.model, p, buf, k, optimizer=self.optimizer,
                 opt_state=o, batch_size=self.train_batch_size,
-                num_epochs=self.train_epochs, normalizers=norms))(
+                num_epochs=self.train_epochs, normalizers=norms,
+                obs_only=self.obs_only))(
             self.params, self.opt_state, self.dataset, self._next_key())
         if self.writer is not None:
             losses = np.asarray(log.losses)
@@ -232,6 +302,23 @@ class GoalStateAgent(MPCAgent):
         self.action_cost_alpha = getattr(action_cost, 'alpha', 0.25)
         self.training_goal_state = None
 
+        # Plan in the space the goal lives in: the per-domain goals/weights
+        # (env_wrappers.py set_goal/get_goal_weights) are defined over the
+        # featured STATE vector on locomotion domains, over observations on
+        # point_mass/reacher. (The reference left the mismatch as a TODO at
+        # env_wrappers.py:8 and only exercised matching-dim domains.)
+        goal_dim = int(self.state_cost_weights.shape[0])
+        if goal_dim == env.observation_dim:
+            self.obs_only = True
+        elif goal_dim == env.state_dim:
+            self.obs_only = False
+        else:
+            raise ValueError(
+                f'goal weights dim {goal_dim} matches neither '
+                f'observation_dim {env.observation_dim} nor state_dim '
+                f'{env.state_dim} of {type(env).__name__}')
+        self.plan_dim = goal_dim
+
         # One jitted collector: (params, stats-normalizers, goal, key).
         self._jit_policy_collect_n = {}
 
@@ -249,19 +336,57 @@ class GoalStateAgent(MPCAgent):
         return MPCPolicy(
             model=model_fn, cost=cost, planner=self.planner,
             sample_action=env.sample_action, horizon=self.horizon,
-            action_dim=env.action_dim, obs_dim=env.observation_dim,
-            planner_kwargs=self.planner_kwargs)
+            action_dim=env.action_dim, obs_dim=self.plan_dim,
+            planner_kwargs=self.planner_kwargs,
+            plan_on_observations=self.obs_only)
+
+    def _make_batched_policy(self, params, norms, goal_state, n):
+        """Batched-CEM policy; fuses the rollout-cost kernel when the
+        model family and cost match the kernel's contract (plain
+        MLPDynamics + smooth-abs/cosh — the GoalStateAgent default)."""
+        from .. import ops
+        env = self.environment
+        model_fn = lambda s, a: self.model.forward(params, s, a, norms)
+
+        def cost(states, actions):
+            return (Mo.smooth_abs_loss(states, goal_state,
+                                       self.state_cost_weights)
+                    + Mo.cosh_loss(actions, self.action_cost_alpha))
+
+        rc = None
+        if type(self.model) is Mo.MLPDynamics and self.model.noise is None:
+            rc = lambda s0T, aT: ops.mlp_rollout_costs_t(
+                params, s0T, aT, goal_state, self.state_cost_weights,
+                normalizers=norms, alpha_action=self.action_cost_alpha)
+        return BatchedMPCPolicy(
+            model=model_fn, cost=cost, horizon=self.horizon,
+            action_dim=env.action_dim, num_envs=n,
+            planner_kwargs=self.planner_kwargs, rollout_costs_fn=rc,
+            plan_on_observations=self.obs_only)
 
     def _policy_collect(self, n):
-        """Jitted: collect n MPC rollouts for given (params, norms, goal)."""
+        """Jitted: collect n MPC rollouts for given (params, norms, goal).
+
+        CEM uses the whole-batch planner path (one cem_batched call per
+        control step, fused rollout kernel); other planners keep the
+        per-env vmapped policy."""
         if n not in self._jit_policy_collect_n:
             env = self.environment
 
-            def collect(params, norms, goal, key):
-                policy = self._make_policy(params, norms, goal)
-                return env.get_rollouts(
-                    key, n, self.rollout_length, policy=policy,
-                    goal_state=goal, policy_init=policy.init_carry)
+            if self.planner is P.CEMPlanner:
+                def collect(params, norms, goal, key):
+                    policy = self._make_batched_policy(params, norms,
+                                                       goal, n)
+                    return env.get_rollouts_batched(
+                        key, n, self.rollout_length,
+                        policy_batched=policy, goal_state=goal,
+                        policy_init=policy.init_carry)
+            else:
+                def collect(params, norms, goal, key):
+                    policy = self._make_policy(params, norms, goal)
+                    return env.get_rollouts(
+                        key, n, self.rollout_length, policy=policy,
+                        goal_state=goal, policy_init=policy.init_carry)
 
             self._jit_policy_collect_n[n] = jax.jit(collect)
         return self._jit_policy_collect_n[n]
@@ -274,8 +399,9 @@ class GoalStateAgent(MPCAgent):
         super()._record_metrics(rolls, rollout_type)
         if self.writer is None or self.training_goal_state is None:
             return
+        vecs = (rolls.observations if self.obs_only else rolls.states)
         sc = np.asarray(Mo.smooth_abs_loss(
-            rolls.observations, self.training_goal_state,
+            vecs, self.training_goal_state,
             self.state_cost_weights).sum(-1))
         ac = np.asarray(Mo.cosh_loss(
             rolls.actions, self.action_cost_alpha).sum(-1))
@@ -297,7 +423,7 @@ class GoalStateAgent(MPCAgent):
             self._reset_goal()
             self.train_iterations = iteration
             self.fit_model()
-            norms = Mo.train.make_normalizers(self.dataset)
+            norms = self._normalizers()
             collect = self._policy_collect(self.num_rollouts_per_iteration)
             self.add_rollouts(
                 policy_collect=lambda key, goal: collect(
@@ -305,7 +431,7 @@ class GoalStateAgent(MPCAgent):
                 goal_state=self.training_goal_state)
 
     def get_action(self, key, obs_vec, carry=None, t=0):
-        norms = Mo.train.make_normalizers(self.dataset)
+        norms = self._normalizers()
         policy = self._make_policy(self.params, norms,
                                    self.training_goal_state)
         if carry is None:
@@ -357,14 +483,14 @@ class RewardAgent(MPCAgent):
             logger.info('Iteration %d', iteration)
             self.train_iterations = iteration
             self.fit_model()
-            norms = Mo.train.make_normalizers(self.dataset)
+            norms = self._normalizers()
             collect = self._policy_collect(self.num_rollouts_per_iteration)
             self.add_rollouts(
                 policy_collect=lambda key, goal: collect(
                     self.params, norms, key))
 
     def get_action(self, key, obs_vec, carry=None, t=0):
-        norms = Mo.train.make_normalizers(self.dataset)
+        norms = self._normalizers()
         policy = self._make_policy(self.params, norms)
         if carry is None:
             carry = policy.init_carry()

@@ -251,6 +251,55 @@ class EnvWrapper:
             rec.make_movie(mp4path)
         return rolls
 
+    def get_rollouts_batched(self, key: jax.Array, num_rollouts: int,
+                             num_steps: int, policy_batched: Callable,
+                             goal_state=None,
+                             policy_init=None) -> Rollouts:
+        """N lockstep rollouts where the POLICY sees the whole env batch.
+
+        `policy_batched(key, t, state_mat (B, sd), obs_mat (B, od),
+        carry) -> (actions (B, ad), carry)`. This is the collection path
+        for batched planners (planners.cem_batched): one planner call per
+        control step covers every env, so fused rollout kernels see a
+        (B*K)-candidate problem instead of being trapped under vmap.
+        Physics stepping stays vmapped per env.
+        """
+        env = self._env
+        B = num_rollouts
+
+        def collect(key):
+            kreset, kroll = jax.random.split(key)
+            env_state, _ = jax.vmap(env.reset)(
+                jax.random.split(kreset, B))
+            if goal_state is not None:
+                env_state = jax.vmap(
+                    lambda s: self.apply_goal(s, goal_state))(env_state)
+            s0, o0 = jax.vmap(self._observe_full)(env_state)
+            carry0 = policy_init() if policy_init is not None else 0
+
+            def step_fn(carry, inp):
+                env_state, pcarry, s, o = carry
+                t, kt = inp
+                actions, pcarry = policy_batched(kt, t, s, o, pcarry)
+                env_state, ts = jax.vmap(env.step)(env_state, actions)
+                s2, o2 = jax.vmap(self._observe_full)(env_state)
+                return ((env_state, pcarry, s2, o2),
+                        (s2, o2, actions, ts.reward))
+
+            keys = jax.random.split(kroll, num_steps)
+            _, (states, obs, actions, rewards) = jax.lax.scan(
+                step_fn, (env_state, carry0, s0, o0),
+                (jnp.arange(num_steps), keys))
+
+            # (T, B, ...) -> (B, T, ...) with the initial frame prepended
+            states = jnp.concatenate([s0[None], states], 0)
+            obs = jnp.concatenate([o0[None], obs], 0)
+            swap = lambda x: jnp.swapaxes(x, 0, 1)
+            return Rollouts(states=swap(states), observations=swap(obs),
+                            actions=swap(actions), rewards=swap(rewards))
+
+        return collect(key)
+
     def get_rollouts(self, key: jax.Array, num_rollouts: int,
                      num_steps: int, policy: Optional[Callable] = None,
                      goal_state=None, initial_states=None,

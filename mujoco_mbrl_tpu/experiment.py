@@ -52,8 +52,10 @@ class Model(Enum):
     def __str__(self):
         return self.value
 
-    def construct(self, environment: envs.EnvWrapper):
-        od, ad = environment.observation_dim, environment.action_dim
+    def construct(self, environment: envs.EnvWrapper, plan_dim=None):
+        od = plan_dim if plan_dim is not None else \
+            environment.observation_dim
+        ad = environment.action_dim
         if self is Model.NeuralNet:
             return models.MLPDynamics(od, ad)
         if self is Model.Linear:
@@ -151,7 +153,11 @@ def main(config) -> agents.MPCAgent:
 
     environment = config.environment
     planner = config.planner.construct()
-    model = config.model.construct(environment)
+    # GoalStateAgent plans in the space the domain's goal lives in (the
+    # featured state on locomotion domains); model dims must match.
+    plan_dim = (int(environment.get_goal_weights().shape[0])
+                if config.agent is Agent.GoalStateAgent else None)
+    model = config.model.construct(environment, plan_dim=plan_dim)
     optimizer = config.optimizer.construct()
 
     agent = config.agent.construct(

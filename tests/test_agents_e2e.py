@@ -109,3 +109,32 @@ class TestExperimentCLI:
             assert mo.construct(env) is not None
         for o in experiment.Optimizer:
             assert o.construct() is not None
+
+
+class TestStateSpaceGoalAgent:
+    """GoalStateAgent on a domain whose goals live in the featured STATE
+    space (walker: 20-dim state vs 24-dim obs) — must train/plan in state
+    space via the batched CEM policy (the reference left this mismatch as
+    a TODO, env_wrappers.py:8, and crashed on such domains)."""
+
+    def test_walker_state_space_training(self, tmp_path):
+        env = envs.load('walker', 'stand')
+        model = models.MLPDynamics(env.state_dim, env.action_dim,
+                                   hidden_units=16)
+        agent = agents.GoalStateAgent(
+            environment=env, planner=planners.CEMPlanner, model=model,
+            horizon=4, optimizer=optax.adam(0.01), rollout_length=8,
+            num_rollouts_per_iteration=2, num_train_iterations=1,
+            writer=MetricsWriter(str(tmp_path), use_tensorboard=False),
+            base_path=str(tmp_path), seed=0,
+            planner_kwargs=dict(num_candidates=32, num_elites=4,
+                                num_iterations=2),
+            train_epochs=1, train_batch_size=16, num_initial_rollouts=2)
+        assert agent.obs_only is False
+        assert agent.plan_dim == env.state_dim
+        agent.train()
+        metrics = [json.loads(l) for l in
+                   open(os.path.join(tmp_path, 'metrics.jsonl'))]
+        tags = {m['tag'] for m in metrics}
+        assert 'AvgRolloutRewards/policy' in tags
+        assert 'AvgRolloutTotalCosts/policy' in tags
