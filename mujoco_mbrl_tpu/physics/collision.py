@@ -39,6 +39,7 @@ _PAIR_POINTS = {
     (M.PLANE, M.SPHERE): 1,
     (M.PLANE, M.CAPSULE): 2,
     (M.PLANE, M.BOX): 4,
+    (M.PLANE, M.ELLIPSOID): 1,
     (M.SPHERE, M.SPHERE): 1,
     (M.SPHERE, M.CAPSULE): 1,
     (M.CAPSULE, M.CAPSULE): 1,
@@ -193,6 +194,24 @@ def _k_plane_box(p1, R1, s1, p2, R2, s2):
     return d, pos, jnp.broadcast_to(n, (4, 3))
 
 
+def _k_plane_ellipsoid(p1, R1, s1, p2, R2, s2):
+    """Closed-form ellipsoid-plane: support point along the plane normal.
+
+    For semi-axes (a,b,c) and plane normal n expressed in the ellipsoid
+    frame, the extent toward the plane is r = ||diag(a,b,c) n|| and the
+    deepest point is -diag(a^2,b^2,c^2) n / r (quadruped torso vs floor).
+    """
+    n = R1[:, 2]
+    n_loc = R2.T @ n
+    scaled = s2 * n_loc
+    r = jnp.sqrt(jnp.sum(scaled * scaled) + 1e-24)
+    d = (p2 - p1) @ n - r
+    p_loc = -(s2 * scaled) / r
+    point = p2 + R2 @ p_loc
+    pos = point - 0.5 * d * n
+    return d[None], pos[None], n[None]
+
+
 def _k_sphere_sphere(p1, R1, s1, p2, R2, s2):
     r1, r2 = s1[0], s2[0]
     dvec = p2 - p1
@@ -232,6 +251,7 @@ _KERNELS = {
     (M.PLANE, M.SPHERE): _k_plane_sphere,
     (M.PLANE, M.CAPSULE): _k_plane_capsule,
     (M.PLANE, M.BOX): _k_plane_box,
+    (M.PLANE, M.ELLIPSOID): _k_plane_ellipsoid,
     (M.SPHERE, M.SPHERE): _k_sphere_sphere,
     (M.SPHERE, M.CAPSULE): _k_sphere_capsule,
     (M.CAPSULE, M.CAPSULE): _k_capsule_capsule,

@@ -81,7 +81,8 @@ def _forward(m: M.Model, state: M.State, ctrl: jnp.ndarray,
             or float(np.asarray(m.opt.viscosity)) > 0):
         qfrc_passive = qfrc_passive + smooth.fluid_force(
             m, xipos, xquat, cvel, cdof, meta)
-    actuator_force, qfrc_actuator = smooth.actuation(m, qpos, qvel, ctrl)
+    actuator_force, qfrc_actuator, act_dot = smooth.actuation(
+        m, qpos, qvel, ctrl, state.act)
 
     qfrc_smooth = qfrc_passive + qfrc_actuator - qfrc_bias
     qM_chol = jax.scipy.linalg.cho_factor(qM)
@@ -115,7 +116,10 @@ def _forward(m: M.Model, state: M.State, ctrl: jnp.ndarray,
         contact_pos=(contact.pos if contact is not None
                      else jnp.zeros((0, 3), qpos.dtype)),
         contact_force=solver_mod.contact_forces(cs, f_rows, n_con,
-                                                qpos.dtype))
+                                                qpos.dtype),
+        act_dot=act_dot, cdof_dot=cdof_dot,
+        contact_frame=(contact.frame if contact is not None
+                       else jnp.zeros((0, 3, 3), qpos.dtype)))
 
 
 # --------------------------------------------------------------------------
@@ -164,7 +168,9 @@ def _euler(m: M.Model, state: M.State, ctrl, contact_fn) -> M.State:
         jax.scipy.linalg.cho_factor(MhB), f_total)
     qvel = state.qvel + h * qacc
     qpos = integrate_pos(m, state.qpos, qvel, h)
-    return M.State(qpos=qpos, qvel=qvel, time=state.time + h)
+    act = (state.act + h * d.act_dot if m.na and state.act is not None
+           else state.act)
+    return M.State(qpos=qpos, qvel=qvel, time=state.time + h, act=act)
 
 
 _RK4_A = ((0.5,), (0.0, 0.5), (0.0, 0.0, 1.0))
@@ -191,7 +197,12 @@ def _rk4(m: M.Model, state: M.State, ctrl, contact_fn) -> M.State:
     acc_w = sum(bw * acc for bw, acc in zip(_RK4_B, accs))
     qpos = integrate_pos(m, q0, vel_w, h)
     qvel = v0 + h * acc_w
-    return M.State(qpos=qpos, qvel=qvel, time=state.time + h)
+    # activations advance with forward Euler inside RK4 (no suite model
+    # combines RK4 with stateful actuators)
+    act = state.act
+    if m.na and state.act is not None:
+        act = state.act + h * forward(m, state, ctrl, contact_fn).act_dot
+    return M.State(qpos=qpos, qvel=qvel, time=state.time + h, act=act)
 
 
 def step(m: M.Model, state: M.State, ctrl: jnp.ndarray,

@@ -641,6 +641,13 @@ def parse(xml_string: str, dtype=np.float32) -> M.Model:
                     bp = _floats(attrs['biasprm'])
                     biasprm[:len(bp[:3])] = bp[:3]
                     biastype = M.BIAS_AFFINE
+            # activation dynamics (quadruped: dyntype="filter" dynprm=".1")
+            dyntype = {'none': M.DYN_NONE, 'integrator': M.DYN_INTEGRATOR,
+                       'filter': M.DYN_FILTER}[attrs.get('dyntype', 'none')]
+            dynprm = np.array([1.0, 0.0, 0.0])
+            if 'dynprm' in attrs:
+                dp = _floats(attrs['dynprm'])
+                dynprm[:len(dp[:3])] = dp[:3]
             name = attrs.get('name')
             if name:
                 act_names[name] = len(acts)
@@ -648,8 +655,19 @@ def parse(xml_string: str, dtype=np.float32) -> M.Model:
                              ctrllimited=ctrllimited, ctrlrange=ctrlrange,
                              forcelimited=forcelimited, forcerange=forcerange,
                              gainprm=gainprm, biasprm=biasprm,
-                             biastype=biastype))
+                             biastype=biastype, dyntype=dyntype,
+                             dynprm=dynprm))
     nu = len(acts)
+
+    # activation state addressing: one slot per stateful actuator
+    actadr = []
+    na = 0
+    for a in acts:
+        if a['dyntype'] != M.DYN_NONE:
+            actadr.append(na)
+            na += 1
+        else:
+            actadr.append(-1)
 
     import jax.numpy as jnp
 
@@ -748,4 +766,8 @@ def parse(xml_string: str, dtype=np.float32) -> M.Model:
         body_principal_mat=arr(body_principal_mat),
         qpos0=arr(qpos0),
         qpos_spring=arr(qpos_spring),
+        na=na,
+        actuator_dyntype=tuple(a['dyntype'] for a in acts),
+        actuator_actadr=tuple(actadr),
+        actuator_dynprm=arr([a['dynprm'] for a in acts], shape=(0, 3)),
     )

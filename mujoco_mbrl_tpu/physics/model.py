@@ -42,6 +42,9 @@ TRN_JOINT, TRN_TENDON = 0, 3
 # Actuator gain/bias types.
 GAIN_FIXED, BIAS_NONE, BIAS_AFFINE = 0, 0, 1
 
+# Actuator activation dynamics (mjtDyn order).
+DYN_NONE, DYN_INTEGRATOR, DYN_FILTER = 0, 1, 2
+
 # Disable flags (bitmask).
 DSBL_CONTACT = 1 << 0
 DSBL_GRAVITY = 1 << 1
@@ -179,6 +182,16 @@ class Model:
     qpos0: jnp.ndarray              # (nq,)
     qpos_spring: jnp.ndarray        # (nq,)
 
+    # --- actuator activation dynamics (optional; quadruped's filtered
+    # actuators). na = number of activation states; actuator_actadr[u] =
+    # index into State.act, or -1 for direct (stateless) actuators.
+    na: int = struct.field(pytree_node=False, default=0)
+    actuator_dyntype: Tuple[int, ...] = struct.field(pytree_node=False,
+                                                     default=())
+    actuator_actadr: Tuple[int, ...] = struct.field(pytree_node=False,
+                                                    default=())
+    actuator_dynprm: Optional[jnp.ndarray] = None   # (nu, 3)
+
     # ----------------------------------------------------------------------
     def name2id(self, kind: str, name: str) -> int:
         """Map an MJCF name to its index. kind in {body,joint,geom,site,actuator,tendon}."""
@@ -207,9 +220,13 @@ class State:
     qpos: jnp.ndarray   # (nq,)
     qvel: jnp.ndarray   # (nv,)
     time: jnp.ndarray   # scalar
+    act: Optional[jnp.ndarray] = None   # (na,) actuator activations
 
     def flatten(self) -> jnp.ndarray:
-        return jnp.concatenate([self.qpos, self.qvel])
+        parts = [self.qpos, self.qvel]
+        if self.act is not None:
+            parts.append(self.act)
+        return jnp.concatenate(parts)
 
 
 @struct.dataclass
@@ -242,6 +259,9 @@ class Data:
     contact_dist: jnp.ndarray   # (C,) signed distances
     contact_pos: jnp.ndarray    # (C, 3)
     contact_force: jnp.ndarray  # (C, 3) in contact frame (normal, t1, t2)
+    act_dot: Optional[jnp.ndarray] = None  # (na,) activation derivatives
+    cdof_dot: Optional[jnp.ndarray] = None  # (nv, 6) for IMU-style sensors
+    contact_frame: Optional[jnp.ndarray] = None  # (C, 3, 3) rows n, t1, t2
 
 
 def xmat_of(data: Data, model: Model) -> jnp.ndarray:
@@ -251,12 +271,17 @@ def xmat_of(data: Data, model: Model) -> jnp.ndarray:
 
 def make_state(model: Model, qpos: Optional[jnp.ndarray] = None,
                qvel: Optional[jnp.ndarray] = None,
-               time: float = 0.0, dtype=jnp.float32) -> State:
+               time: float = 0.0, dtype=jnp.float32,
+               act: Optional[jnp.ndarray] = None) -> State:
     """Construct a State, defaulting to the reference configuration qpos0."""
     if qpos is None:
         qpos = jnp.asarray(model.qpos0, dtype=dtype)
     if qvel is None:
         qvel = jnp.zeros((model.nv,), dtype=dtype)
+    if act is None and model.na:
+        act = jnp.zeros((model.na,), dtype=dtype)
     return State(qpos=jnp.asarray(qpos, dtype=dtype),
                  qvel=jnp.asarray(qvel, dtype=dtype),
-                 time=jnp.asarray(time, dtype=dtype))
+                 time=jnp.asarray(time, dtype=dtype),
+                 act=(jnp.asarray(act, dtype=dtype)
+                      if act is not None else None))

@@ -447,17 +447,22 @@ def fluid_force(m: M.Model, xipos, xquat, cvel, cdof,
 # Actuation
 # --------------------------------------------------------------------------
 
-def actuation(m: M.Model, qpos, qvel, ctrl) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(actuator_force, qfrc_actuator) following mj_fwdActuation semantics.
+def actuation(m: M.Model, qpos, qvel, ctrl, act=None
+              ) -> Tuple[jnp.ndarray, jnp.ndarray, 'jnp.ndarray']:
+    """(actuator_force, qfrc_actuator, act_dot) — mj_fwdActuation semantics.
 
     Joint-transmission actuators (the entire suite except the fish's
     tendon-driven fins) evaluate as one batched expression over all
-    actuators; only tendon transmissions loop.
+    actuators; only tendon transmissions loop. Stateful actuators
+    (dyntype filter/integrator, e.g. the quadruped's) drive the gain from
+    their activation state and return its time derivative for the
+    integrator (act_dot is None for models with na == 0).
     """
     import numpy as np
     dtype = qpos.dtype
     if m.nu == 0 or (m.opt.disableflags & M.DSBL_ACTUATION):
-        return jnp.zeros((m.nu,), dtype), jnp.zeros((m.nv,), dtype)
+        return (jnp.zeros((m.nu,), dtype), jnp.zeros((m.nv,), dtype),
+                None)
 
     # per-actuator transmission length/velocity
     length = jnp.zeros((m.nu,), dtype)
@@ -485,7 +490,24 @@ def actuation(m: M.Model, qpos, qvel, ctrl) -> Tuple[jnp.ndarray, jnp.ndarray]:
     c = jnp.where(jnp.asarray(ctrl_lim),
                   jnp.clip(ctrl, m.actuator_ctrlrange[:, 0],
                            m.actuator_ctrlrange[:, 1]), ctrl)
-    force = m.actuator_gainprm[:, 0] * c
+
+    # activation dynamics: gain input = act for stateful actuators
+    act_dot = None
+    gain_in = c
+    if m.na and act is not None:
+        dyn = np.array(m.actuator_dyntype)
+        adr = np.array(m.actuator_actadr)
+        stateful = dyn != M.DYN_NONE
+        gain_in = jnp.where(jnp.asarray(stateful),
+                            act[np.where(stateful, adr, 0)], c)
+        slot_u = np.nonzero(stateful)[0]        # actuator of each act slot
+        tau = jnp.maximum(m.actuator_dynprm[slot_u, 0], 1e-8)
+        is_filter = np.array([m.actuator_dyntype[u] == M.DYN_FILTER
+                              for u in slot_u])
+        act_dot = jnp.where(jnp.asarray(is_filter),
+                            (c[slot_u] - act) / tau, c[slot_u])
+
+    force = m.actuator_gainprm[:, 0] * gain_in
     affine = np.array([bt == M.BIAS_AFFINE for bt in m.actuator_biastype])
     if affine.any():
         force = force + jnp.asarray(affine, dtype) * (
@@ -506,4 +528,4 @@ def actuation(m: M.Model, qpos, qvel, ctrl) -> Tuple[jnp.ndarray, jnp.ndarray]:
         t = m.actuator_trnid[u]
         qfrc = qfrc + m.tendon_moment[t] * (m.actuator_gear[u] * force[u])
 
-    return force, qfrc
+    return force, qfrc, act_dot

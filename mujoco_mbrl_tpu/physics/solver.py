@@ -45,15 +45,23 @@ def impedance(solimp: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
 
 def kbi(solref, solimp, pos, timestep):
     """Stiffness k, damping b, impedance d for one row (mj_makeImpedance).
-    timeconst is clamped to >= 2*timestep for stability, as in MuJoCo."""
+
+    Standard form solref = (timeconst, dampratio) with timeconst clamped
+    to >= 2*timestep for stability; non-positive solref uses MuJoCo's
+    direct convention solref = (-stiffness, -damping) (quadruped ball:
+    solref='-10000 -30')."""
     d = impedance(solimp, pos)
     dmax = solimp[1]
     timeconst = jnp.maximum(solref[0], 2.0 * timestep)
     dampratio = solref[1]
-    b = 2.0 / jnp.maximum(dmax * timeconst, 1e-10)
-    k = d / jnp.maximum(dmax * dmax * timeconst * timeconst
-                        * dampratio * dampratio, 1e-10)
-    return k, b, d
+    b_std = 2.0 / jnp.maximum(dmax * timeconst, 1e-10)
+    k_std = d / jnp.maximum(dmax * dmax * timeconst * timeconst
+                            * dampratio * dampratio, 1e-10)
+    b_dir = -solref[1] / jnp.maximum(dmax, 1e-10)
+    k_dir = -solref[0] * d / jnp.maximum(dmax * dmax, 1e-10)
+    direct = jnp.logical_or(solref[0] <= 0, solref[1] <= 0)
+    return (jnp.where(direct, k_dir, k_std),
+            jnp.where(direct, b_dir, b_std), d)
 
 
 class ConstraintSet:
@@ -369,13 +377,41 @@ def solve_apgd(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
     diagA = jnp.maximum(jnp.diag(A), 1e-10)
     Ad = A + jnp.diag(cs.R * diagA)
     rhs = (cs.aref - cs.J @ qacc_smooth) * cs.active
-    # Gershgorin upper bound on the spectral radius -> safe step size
-    L = jnp.maximum(jnp.max(jnp.sum(jnp.abs(Ad), axis=1)), 1e-10)
 
     nonneg, box_rows, con0 = _row_structure(cs)
     bounds = (jnp.stack([jnp.asarray(b, dtype)
                          for b in cs.friction_bounds])
               if len(box_rows) else None)
+
+    # Jacobi preconditioning: stiff equality rows (tendon couplings) and
+    # heavy-mass contacts give Ad a condition number that stalls plain
+    # projected gradient. Solve in f_s = D^(1/2) f with D = diag(Ad);
+    # friction-cone blocks share their NORMAL row's scale so the cone
+    # projection stays exact in the scaled variables. Rows with a
+    # vanishing diagonal (near-zero constraint Jacobians, e.g. contacts
+    # between nearly co-moving geoms) are dropped outright — scaling BY
+    # them would blow up the spectral radius and stall every other row.
+    d_all = jnp.diag(Ad)
+    if len(con0):
+        block_scale = d_all[con0]
+        d_all = d_all.at[con0 + 1].set(block_scale)
+        d_all = d_all.at[con0 + 2].set(block_scale)
+    degenerate = d_all < 1e-9 * jnp.max(d_all)
+    s_inv = jnp.where(degenerate, 0.0,
+                      1.0 / jnp.sqrt(jnp.where(degenerate, 1.0, d_all)))
+    Ad = Ad * s_inv[:, None] * s_inv[None, :]
+    rhs = rhs * s_inv
+    if bounds is not None:
+        safe = jnp.where(s_inv[box_rows] > 0, s_inv[box_rows], 1.0)
+        bounds = bounds / safe
+
+    # step size from the preconditioned spectral radius (power iteration)
+    def power(_, v):
+        w = Ad @ v
+        return w / jnp.maximum(jnp.linalg.norm(w), 1e-12)
+    v0 = jnp.ones((cs.J.shape[0],), dtype) / (cs.J.shape[0] ** 0.5)
+    v = jax.lax.fori_loop(0, 12, power, v0)
+    L = jnp.maximum(v @ (Ad @ v), 1.0)  # unit diagonal -> L >= 1
 
     def proj(f):
         if len(nonneg):
@@ -417,6 +453,7 @@ def solve_apgd(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
 
     f, _, _ = jax.lax.fori_loop(
         0, iterations, body, (f0, f0, jnp.ones((), dtype)))
+    f = f * s_inv                      # back to unscaled forces
     return cs.J.T @ f, f
 
 

@@ -23,7 +23,7 @@ from .control import Environment, EnvState, TimeStep, flatten_observation
 
 _DOMAINS = ('acrobot', 'ball_in_cup', 'cartpole', 'cheetah', 'finger',
             'fish', 'hopper', 'humanoid', 'lqr', 'manipulator', 'pendulum',
-            'point_mass', 'reacher', 'swimmer', 'walker')
+            'point_mass', 'quadruped', 'reacher', 'swimmer', 'walker')
 
 
 def _get_domain(domain_name: str):

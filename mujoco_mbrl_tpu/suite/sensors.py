@@ -64,12 +64,7 @@ def contact_layout(m: M.Model) -> List[Tuple[int, int]]:
     layout = []
     for g1, g2 in pairs:
         t1, t2 = m.geom_type[g1], m.geom_type[g2]
-        if t1 == M.PLANE and t2 == M.CAPSULE:
-            n = 2
-        elif t1 == M.PLANE and t2 == M.BOX:
-            n = 4
-        else:
-            n = 1
+        n = collision._PAIR_POINTS[(t1, t2)]
         layout.extend([(g1, g2)] * n)
     return layout
 
@@ -89,3 +84,119 @@ def touch(m: M.Model, data: M.Data, site_id: int, geom_id: int,
         total = total + near * active * jnp.maximum(
             data.contact_force[c, 0], 0.0)
     return total
+
+
+# ---------------------------------------------------------------------------
+# Site-frame IMU-style sensors (quadruped domain: gyro / accelerometer /
+# velocimeter / force / torque, reference suite/quadruped.xml sensor block)
+# ---------------------------------------------------------------------------
+
+def site_xmat(m: M.Model, data: M.Data, site_id: int) -> jnp.ndarray:
+    """World rotation of a site frame: body rotation x site offset."""
+    from ..physics import math as pm
+    return data.ximat[m.site_body[site_id]] @ pm.quat_to_mat(
+        m.site_quat[site_id])
+
+
+def gyro(m: M.Model, data: M.Data, site_id: int) -> jnp.ndarray:
+    """Angular velocity of the site's body, in the site frame."""
+    w = data.cvel[m.site_body[site_id], :3]
+    return site_xmat(m, data, site_id).T @ w
+
+
+def velocimeter(m: M.Model, data: M.Data, site_id: int) -> jnp.ndarray:
+    """Linear velocity of the site point, in the site frame."""
+    b = m.site_body[site_id]
+    v6 = data.cvel[b]                    # world spatial velocity @ origin
+    p = data.site_xpos[site_id]
+    v = v6[3:] + jnp.cross(v6[:3], p)
+    return site_xmat(m, data, site_id).T @ v
+
+
+def body_cacc(m: M.Model, data: M.Data, qvel: jnp.ndarray) -> jnp.ndarray:
+    """Spatial accelerations of all bodies (world frame, about origin).
+
+    cacc[b] = cacc[parent] + sum_k cdof[k]*qacc[k] + cdof_dot[k]*qvel[k],
+    seeded with -gravity at the root (the RNEA gravity trick) so a body at
+    rest reads +|g| on a z-up accelerometer, matching mjSENS_ACCELEROMETER.
+    """
+    meta = smooth.tree_meta(m)
+    dtype = data.cvel.dtype
+    a0 = jnp.concatenate([jnp.zeros(3, dtype),
+                          -m.opt.gravity.astype(dtype)])
+    acc = [a0]
+    for b in range(1, m.nbody):
+        a = acc[m.body_parent[b]]
+        for k in meta.body_dofs[b]:
+            a = (a + data.cdof[k] * data.qacc[k]
+                 + data.cdof_dot[k] * qvel[k])
+        acc.append(a)
+    return jnp.stack(acc)
+
+
+def accelerometer(m: M.Model, data: M.Data, qvel: jnp.ndarray,
+                  site_id: int) -> jnp.ndarray:
+    """Proper linear acceleration of the site point, in the site frame.
+
+    Classical point acceleration from the spatial acceleration A about the
+    origin: a(p) = A_lin + A_ang x p + w x v(p).
+    """
+    b = m.site_body[site_id]
+    A = body_cacc(m, data, qvel)[b]
+    v6 = data.cvel[b]
+    p = data.site_xpos[site_id]
+    v_p = v6[3:] + jnp.cross(v6[:3], p)
+    a_p = A[3:] + jnp.cross(A[:3], p) + jnp.cross(v6[:3], v_p)
+    return site_xmat(m, data, site_id).T @ a_p
+
+
+def contact_force_on_body(m: M.Model, data: M.Data,
+                          body: int) -> jnp.ndarray:
+    """Net world-frame contact force acting on `body`'s geoms.
+
+    Uses the solver's per-contact (normal, t1, t2) forces; the normal
+    points g1 -> g2, so force on body(g2) is +frame^T f and on body(g1)
+    is -frame^T f.
+    """
+    pairs = contact_layout(m)
+    f = jnp.zeros(3, data.contact_force.dtype)
+    for c, (g1, g2) in enumerate(pairs):
+        fw = data.contact_force[c] @ data.contact_frame[c]
+        if m.geom_body[g2] == body:
+            f = f + fw
+        if m.geom_body[g1] == body:
+            f = f - fw
+    return f
+
+
+def force_site(m: M.Model, data: M.Data, site_id: int) -> jnp.ndarray:
+    """Ground-reaction force on the site's body, in the site frame.
+
+    Approximates mjSENS_FORCE (parent-interaction force) by the net
+    contact force on the body — for the quadruped's toe sensors the toe
+    mass is negligible relative to ground reaction, which is the signal
+    the Fetch/Move observations use (arcsinh-scaled).
+    """
+    b = m.site_body[site_id]
+    f = contact_force_on_body(m, data, b)
+    return site_xmat(m, data, site_id).T @ f
+
+
+def torque_site(m: M.Model, data: M.Data, site_id: int) -> jnp.ndarray:
+    """Contact torque about the site point, in the site frame (same
+    approximation as force_site)."""
+    pairs = contact_layout(m)
+    b = m.site_body[site_id]
+    p0 = data.site_xpos[site_id]
+    tau = jnp.zeros(3, data.contact_force.dtype)
+    for c, (g1, g2) in enumerate(pairs):
+        sign = 0.0
+        if m.geom_body[g2] == b:
+            sign = 1.0
+        elif m.geom_body[g1] == b:
+            sign = -1.0
+        if sign == 0.0:
+            continue
+        fw = sign * (data.contact_force[c] @ data.contact_frame[c])
+        tau = tau + jnp.cross(data.contact_pos[c] - p0, fw)
+    return site_xmat(m, data, site_id).T @ tau
