@@ -50,11 +50,15 @@ def candidate_pairs(m: M.Model,
                     include_geom_geom: bool = True) -> List[Tuple[int, int]]:
     """Static candidate list with MuJoCo's filtering semantics:
     same-body filter, parent-child filter, contype/conaffinity mask."""
+    excludes = frozenset(getattr(m, 'contact_excludes', ()) or ())
     pairs = []
     for g1 in range(m.ngeom):
         for g2 in range(g1 + 1, m.ngeom):
             b1, b2 = m.geom_body[g1], m.geom_body[g2]
             if b1 == b2:
+                continue
+            # explicit <contact><exclude body1 body2/> pairs
+            if (b1, b2) in excludes or (b2, b1) in excludes:
                 continue
             # parent-child filter (world parent exempt, as in MuJoCo)
             if b1 != 0 and b2 != 0 and (

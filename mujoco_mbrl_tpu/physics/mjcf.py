@@ -598,6 +598,17 @@ def parse(xml_string: str, dtype=np.float32) -> M.Model:
     # ---- actuators -----------------------------------------------------------
     act_names: Dict[str, int] = {}
     acts = []
+    # ---- explicit contact excludes ------------------------------------------
+    contact_excludes = []
+    contact_el = root.find('contact')
+    if contact_el is not None:
+        for cel in contact_el:
+            if cel.tag == 'exclude':
+                contact_excludes.append(
+                    (b.body_names[cel.attrib['body1']],
+                     b.body_names[cel.attrib['body2']]))
+    contact_excludes = tuple(contact_excludes)
+
     actuator_el = root.find('actuator')
     if actuator_el is not None:
         for ael in actuator_el:
@@ -770,4 +781,5 @@ def parse(xml_string: str, dtype=np.float32) -> M.Model:
         actuator_dyntype=tuple(a['dyntype'] for a in acts),
         actuator_actadr=tuple(actadr),
         actuator_dynprm=arr([a['dynprm'] for a in acts], shape=(0, 3)),
+        contact_excludes=contact_excludes,
     )

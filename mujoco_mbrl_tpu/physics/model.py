@@ -192,6 +192,10 @@ class Model:
                                                     default=())
     actuator_dynprm: Optional[jnp.ndarray] = None   # (nu, 3)
 
+    # explicit <contact><exclude> body pairs (humanoid_CMU clavicles)
+    contact_excludes: Tuple[Tuple[int, int], ...] = struct.field(
+        pytree_node=False, default=())
+
     # ----------------------------------------------------------------------
     def name2id(self, kind: str, name: str) -> int:
         """Map an MJCF name to its index. kind in {body,joint,geom,site,actuator,tendon}."""

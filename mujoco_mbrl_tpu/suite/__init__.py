@@ -22,11 +22,15 @@ from . import base, control, randomizers, registry, rewards
 from .control import Environment, EnvState, TimeStep, flatten_observation
 
 _DOMAINS = ('acrobot', 'ball_in_cup', 'cartpole', 'cheetah', 'finger',
-            'fish', 'hopper', 'humanoid', 'lqr', 'manipulator', 'pendulum',
-            'point_mass', 'quadruped', 'reacher', 'swimmer', 'walker')
+            'fish', 'hopper', 'humanoid', 'humanoid_cmu', 'lqr',
+            'manipulator', 'pendulum', 'point_mass', 'quadruped',
+            'reacher', 'swimmer', 'walker')
 
 
 def _get_domain(domain_name: str):
+    # accept the reference's capitalized spelling (suite.load('humanoid_CMU'))
+    domain_name = {'humanoid_CMU': 'humanoid_cmu'}.get(domain_name,
+                                                       domain_name)
     return importlib.import_module(
         f'{__package__}.{domain_name}')
 
