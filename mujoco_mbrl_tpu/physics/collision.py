@@ -43,6 +43,9 @@ _PAIR_POINTS = {
     (M.SPHERE, M.SPHERE): 1,
     (M.SPHERE, M.CAPSULE): 1,
     (M.CAPSULE, M.CAPSULE): 1,
+    (M.SPHERE, M.BOX): 1,
+    (M.CAPSULE, M.BOX): 2,
+    (M.BOX, M.BOX): 8,
 }
 
 
@@ -251,6 +254,90 @@ def _k_capsule_capsule(p1, R1, s1, p2, R2, s2):
     return d[None], pos[None], n[None]
 
 
+def _point_box(p_loc, size):
+    """Signed distance of a point to a box surface (box frame).
+
+    Returns (dist, n_loc, surf_loc): dist < 0 inside; n_loc is the
+    outward normal at the closest surface point surf_loc.
+    """
+    c = jnp.clip(p_loc, -size, size)
+    out_vec = p_loc - c
+    out_d = jnp.linalg.norm(out_vec)
+    outside = out_d > 1e-9
+    face_d = size - jnp.abs(p_loc)              # (3,) >= 0 iff inside
+    ax = jnp.argmin(face_d)
+    n_in = jnp.eye(3, dtype=p_loc.dtype)[ax] * jnp.sign(p_loc[ax])
+    surf_in = p_loc + n_in * face_d[ax]
+    n = jnp.where(outside, out_vec / jnp.maximum(out_d, 1e-12), n_in)
+    dist = jnp.where(outside, out_d, -jnp.min(face_d))
+    surf = jnp.where(outside, c, surf_in)
+    return dist, n, surf
+
+
+def _k_sphere_box(p1, R1, s1, p2, R2, s2):
+    r = s1[0]
+    p_loc = R2.T @ (p1 - p2)
+    d_pt, n_loc, _ = _point_box(p_loc, s2)
+    d = d_pt - r
+    # contact normal points g1 (sphere) -> g2 (box)
+    n = -(R2 @ n_loc)
+    pos = p1 + n * (r + 0.5 * d)
+    return d[None], pos[None], n[None]
+
+
+def _k_capsule_box(p1, R1, s1, p2, R2, s2):
+    """Capsule vs box via its two deepest spherical samples (ends +
+    midpoint of the axis segment) — adequate for gripper/prop scenes;
+    deep edge-across-face cases resolve through the endpoint pair."""
+    r = s1[0]
+    e0, e1 = _seg_of(p1, R1, s1[1])
+    samples = jnp.stack([e0, 0.5 * (e0 + e1), e1])        # (3, 3)
+
+    def one(pt):
+        p_loc = R2.T @ (pt - p2)
+        d_pt, n_loc, _ = _point_box(p_loc, s2)
+        d = d_pt - r
+        n = -(R2 @ n_loc)
+        return d, pt + n * (r + 0.5 * d), n
+
+    ds, poss, ns = jax.vmap(one)(samples)
+    order = jnp.argsort(ds)[:2]
+    return ds[order], poss[order], ns[order]
+
+
+_BOX_CORNERS = np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+                         for sz in (-1, 1)], np.float32)
+
+
+def _k_box_box(p1, R1, s1, p2, R2, s2):
+    """Box-box via mutual vertex clipping: the 4 deepest corners of each
+    box against the other (8 fixed contact slots). Face-face stacking —
+    the stacker's workload — resolves through corner contacts; deep
+    edge-edge wedging is approximated by the nearest corner pair."""
+    def corners_vs(pa, Ra, sa, pb, Rb, sb, flip):
+        w = pb + (_BOX_CORNERS.astype(sb.dtype) * sb) @ Rb.T   # (8, 3)
+        p_loc = (w - pa) @ Ra                                   # in a-frame
+
+        def one(pl, wpt):
+            d, n_loc, _ = _point_box(pl, sa)
+            n = Ra @ n_loc                 # outward from box a
+            n = jnp.where(flip, -n, n)
+            return d, wpt - 0.5 * d * n, n
+
+        ds, poss, ns = jax.vmap(one)(p_loc, w)
+        order = jnp.argsort(ds)[:4]
+        return ds[order], poss[order], ns[order]
+
+    # corners of box2 against box1: outward-from-box1 normal = g1 -> g2
+    d_a, p_a, n_a = corners_vs(p1, R1, s1, p2, R2, s2,
+                               jnp.zeros((), bool))
+    # corners of box1 against box2: flip so the normal stays g1 -> g2
+    d_b, p_b, n_b = corners_vs(p2, R2, s2, p1, R1, s1,
+                               jnp.ones((), bool))
+    return (jnp.concatenate([d_a, d_b]), jnp.concatenate([p_a, p_b]),
+            jnp.concatenate([n_a, n_b]))
+
+
 _KERNELS = {
     (M.PLANE, M.SPHERE): _k_plane_sphere,
     (M.PLANE, M.CAPSULE): _k_plane_capsule,
@@ -259,6 +346,9 @@ _KERNELS = {
     (M.SPHERE, M.SPHERE): _k_sphere_sphere,
     (M.SPHERE, M.CAPSULE): _k_sphere_capsule,
     (M.CAPSULE, M.CAPSULE): _k_capsule_capsule,
+    (M.SPHERE, M.BOX): _k_sphere_box,
+    (M.CAPSULE, M.BOX): _k_capsule_box,
+    (M.BOX, M.BOX): _k_box_box,
 }
 
 
