@@ -100,10 +100,19 @@ def kinematics(m: M.Model, qpos: jnp.ndarray, meta: TreeMeta):
                               h_axes * jnp.sin(half)[:, None]], axis=1)
         hq_index = {j: i for i, j in enumerate(hinges)}
 
-    # static fast-path predicates (concrete at trace time)
-    body_pos_np = np.asarray(m.body_pos)
-    body_quat_np = np.asarray(m.body_quat)
-    jnt_pos_np = np.asarray(m.jnt_pos)
+    # static fast-path predicates — only when the arrays are concrete at
+    # trace time. Tasks override body_pos/body_quat per episode (moved
+    # targets), making them tracers; then every body takes the general
+    # path.
+    def _concrete(x):
+        try:
+            return np.asarray(x)
+        except Exception:
+            return None
+
+    body_pos_np = _concrete(m.body_pos)
+    body_quat_np = _concrete(m.body_quat)
+    jnt_pos_np = _concrete(m.jnt_pos)
 
     xpos = [jnp.zeros(3, dtype)]
     xquat = [jnp.array([1.0, 0, 0, 0], dtype)]
@@ -124,10 +133,11 @@ def kinematics(m: M.Model, qpos: jnp.ndarray, meta: TreeMeta):
             xquat.append(quat)
             continue
 
-        identity_bq = np.allclose(body_quat_np[b], [1, 0, 0, 0])
+        identity_bq = (body_quat_np is not None
+                       and np.allclose(body_quat_np[b], [1, 0, 0, 0]))
         quat = (xquat[p] if identity_bq
                 else pm.quat_mul(xquat[p], m.body_quat[b]))
-        if np.allclose(body_pos_np[b], 0):
+        if body_pos_np is not None and np.allclose(body_pos_np[b], 0):
             pos = xpos[p]
         else:
             pos = xpos[p] + pm.quat_rot(xquat[p], m.body_pos[b])
@@ -135,7 +145,8 @@ def kinematics(m: M.Model, qpos: jnp.ndarray, meta: TreeMeta):
         for j in joints:
             adr = m.jnt_qposadr[j]
             jtype = m.jnt_type[j]
-            zero_anchor = np.allclose(jnt_pos_np[j], 0)
+            zero_anchor = (jnt_pos_np is not None
+                           and np.allclose(jnt_pos_np[j], 0))
             if jtype == M.SLIDE:
                 axis_w = pm.quat_rot(quat, m.jnt_axis[j])
                 pos = pos + axis_w * (qpos[adr] - m.qpos0[adr])

@@ -24,7 +24,7 @@ from .control import Environment, EnvState, TimeStep, flatten_observation
 _DOMAINS = ('acrobot', 'ball_in_cup', 'cartpole', 'cheetah', 'finger',
             'fish', 'hopper', 'humanoid', 'humanoid_cmu', 'lqr',
             'manipulator', 'pendulum', 'point_mass', 'quadruped',
-            'reacher', 'swimmer', 'walker')
+            'reacher', 'stacker', 'swimmer', 'walker')
 
 
 def _get_domain(domain_name: str):

@@ -92,10 +92,14 @@ _CUP = """
 """
 
 
-def _make_model_xml(use_peg: bool, insert: bool) -> str:
-    props = _PEG if use_peg else _BALL
-    if insert:
-        props += _SLOT if use_peg else _CUP
+def _make_model_xml(use_peg: bool = False, insert: bool = False,
+                    props: str = None) -> str:
+    """Arena + arm + hand model; `props` overrides the prop bodies so the
+    stacker domain (same arm, boxes for props) shares this template."""
+    if props is None:
+        props = _PEG if use_peg else _BALL
+        if insert:
+            props += _SLOT if use_peg else _CUP
     return f"""
 <mujoco model='planar manipulator'>
   <option timestep='0.001'/>

@@ -19,7 +19,7 @@ from mujoco_mbrl_tpu import suite
 # runs only with RUN_HEAVY=1 (they still get load/spec smoke tests below).
 _HEAVY_DOMAINS = frozenset(
     {'humanoid', 'manipulator', 'finger', 'fish', 'ball_in_cup', 'cheetah',
-     'quadruped', 'humanoid_cmu'})
+     'quadruped', 'humanoid_cmu', 'stacker'})
 _RUN_HEAVY = os.environ.get('RUN_HEAVY', '') == '1'
 
 ALL_TASKS = tuple((d, t) for d, t in suite.all_tasks()
