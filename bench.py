@@ -27,7 +27,7 @@ import jax.numpy as jnp
 def build_bench(task: str, B: int, K: int, H: int, cem_iters: int,
                 steps: int):
     from mujoco_mbrl_tpu import models, planners, suite
-    from mujoco_mbrl_tpu.ops import mlp_rollout_costs_t
+    from mujoco_mbrl_tpu.ops import mlp_sample_rollout_costs
 
     domain, task_name = task.rsplit('_', 1)
     env = suite.load(domain, task_name)
@@ -47,19 +47,20 @@ def build_bench(task: str, B: int, K: int, H: int, cem_iters: int,
         cost = lambda states, actions: (
             models.smooth_abs_loss(states, goal, weights)
             + models.cosh_loss(actions))
-        # The fused Pallas rollout wins when the feature dims carry real
-        # MXU work; for very small models (cartpole: 5+1 dims) the XLA
-        # scan path is faster — tile padding dominates the kernel.
+        # The fused Pallas path (in-kernel sampling + rollout + cost)
+        # wins when the feature dims carry real MXU work; for very small
+        # models (cartpole: 5+1 dims) the XLA scan path is faster — tile
+        # padding dominates the kernel.
         if obs_dim + act_dim >= 16:
-            rc = lambda s0T, actsT: mlp_rollout_costs_t(
-                params, s0T, actsT, goal, weights,
-                tile=4096, compute_dtype=jnp.bfloat16)
+            scf = lambda seed, mean, std: mlp_sample_rollout_costs(
+                params, seed, obs, mean, std, goal, weights,
+                num_candidates=K)
         else:
-            rc = None
+            scf = None
         traj = planners.cem_batched(
             key, obs, model_fn, cost, horizon=H, action_dim=act_dim,
             num_candidates=K, num_elites=max(K // 10, 1),
-            num_iterations=cem_iters, rollout_costs_fn=rc,
+            num_iterations=cem_iters, sample_costs_fn=scf,
             return_states=False)
         return traj.actions[0]
 

@@ -8,7 +8,7 @@ parity tests.
 """
 
 from .cem_rollout import (mlp_rollout_costs, mlp_rollout_costs_reference,
-                          mlp_rollout_costs_t)
+                          mlp_rollout_costs_t, mlp_sample_rollout_costs)
 
 __all__ = ['mlp_rollout_costs', 'mlp_rollout_costs_reference',
-           'mlp_rollout_costs_t']
+           'mlp_rollout_costs_t', 'mlp_sample_rollout_costs']

@@ -239,3 +239,137 @@ def mlp_rollout_costs(params, s0, actions, goal, weights,
                                goal, weights, normalizers, alpha_state,
                                alpha_action, tile, compute_dtype,
                                interpret)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused variant: action sampling + rollout + cost in one kernel.
+# Grid = env batch; each program samples its env's K candidates from the
+# CEM (mean, std) with the on-core PRNG (Box-Muller on prng_random_bits),
+# rolls them through the MLP in VMEM, and writes costs AND the sampled
+# actions (needed by the elite refit). Removes the eps-sample + clip +
+# transpose HBM round-trips of the two-phase path (~2 ms per CEM
+# iteration at production sizes).
+# ---------------------------------------------------------------------------
+
+def _sample_kernel(seed_ref, s0_ref, mean_ref, std_ref, w1sT_ref, w1aT_ref,
+                   b1_ref, w2T_ref, b2_ref, w3T_ref, b3_ref, goal_ref,
+                   wvec_ref, cost_ref, act_ref, *, horizon: int,
+                   alpha_state: float, alpha_action: float,
+                   action_low: float, action_high: float):
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + i)
+    s = s0_ref[0]                                     # (sd, K)
+    K = s.shape[1]
+    ad = mean_ref.shape[2]
+
+    def body(t, carry):
+        s, acc = carry
+        # Box-Muller normal from two uint32 draws, in (ad, K) lanes;
+        # int32 view * 2^-32 + 0.5 maps bits uniformly onto [0, 1)
+        u_bits = pltpu.bitcast(pltpu.prng_random_bits((2 * ad, K)),
+                               jnp.int32)
+        u = u_bits.astype(jnp.float32) * (1.0 / 4294967296.0) + 0.5
+        u1 = jnp.clip(u[:ad], 1e-7, 1.0)
+        u2 = u[ad:]
+        z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
+            (2.0 * np.pi) * u2)
+        a = jnp.clip(mean_ref[0, t][:, None] + std_ref[0, t][:, None] * z,
+                     action_low, action_high).astype(s.dtype)
+        act_ref[0, t] = a
+        dt = s.dtype
+        h = (jnp.dot(w1sT_ref[:], s, preferred_element_type=jnp.float32)
+             + jnp.dot(w1aT_ref[:], a, preferred_element_type=jnp.float32)
+             + b1_ref[:])
+        h = jnp.maximum(h, 0.0).astype(dt)
+        h = jnp.maximum(
+            jnp.dot(w2T_ref[:], h, preferred_element_type=jnp.float32)
+            + b2_ref[:], 0.0).astype(dt)
+        s = (jnp.dot(w3T_ref[:], h, preferred_element_type=jnp.float32)
+             + b3_ref[:]).astype(dt)
+        d = ((s - goal_ref[:]) * wvec_ref[:]).astype(jnp.float32)
+        c_state = jnp.sum(
+            jnp.sqrt(d * d + alpha_state * alpha_state) - alpha_state,
+            axis=0, keepdims=True)
+        u_act = (a / alpha_action).astype(jnp.float32)
+        cosh_u = 0.5 * (jnp.exp(u_act) + jnp.exp(-u_act))
+        c_act = (alpha_action ** 2) * jnp.mean(
+            cosh_u - 1.0, axis=0, keepdims=True)
+        return s, acc + c_state + c_act
+
+    acc0 = jnp.zeros((1, K), jnp.float32)
+    s, acc = jax.lax.fori_loop(0, horizon, body, (s, acc0))
+    cost_ref[0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'num_candidates', 'alpha_state', 'alpha_action', 'action_low',
+    'action_high', 'interpret'))
+def mlp_sample_rollout_costs(params, seed, s0, mean, std, goal, weights,
+                             num_candidates: int, normalizers=None,
+                             alpha_state: float = 0.4,
+                             alpha_action: float = 0.25,
+                             action_low: float = -1.0,
+                             action_high: float = 1.0,
+                             interpret: bool = False):
+    """Sample + roll out + cost K candidates per env, fully in-kernel.
+
+    Args:
+      seed: int32 scalar; each env program folds in its grid index.
+      s0: (B, sd) per-env initial states.
+      mean, std: (B, H, ad) CEM proposal statistics.
+    Returns:
+      costs (B, K) float32 and actions (B, H, ad, K) — the kernel's own
+      PRNG stream (distinct from jax.random but deterministic in `seed`).
+    """
+    B, sd = s0.shape
+    _, H, ad = mean.shape
+    Kp = ((num_candidates + 127) // 128) * 128
+    w1, b1, w2, b2, w3, b3 = _fold_normalizers(params, normalizers)
+
+    kern = functools.partial(
+        _sample_kernel, horizon=H, alpha_state=alpha_state,
+        alpha_action=alpha_action, action_low=action_low,
+        action_high=action_high)
+    full2 = lambda i: (0, 0)
+    costs, actions = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # seed
+            pl.BlockSpec((1, sd, Kp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),             # s0T
+            pl.BlockSpec((1, H, ad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),             # mean
+            pl.BlockSpec((1, H, ad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),             # std
+            pl.BlockSpec(w1[:sd].T.shape, full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w1[sd:].T.shape, full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((w1.shape[1], 1), full2,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w2.T.shape, full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((w2.shape[1], 1), full2,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w3.T.shape, full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((w3.shape[1], 1), full2,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sd, 1), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((sd, 1), full2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, Kp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, ad, Kp), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1, Kp), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, ad, Kp), s0.dtype),
+        ),
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32),
+      jnp.broadcast_to(s0[:, :, None], (B, sd, Kp)),
+      mean, std,
+      w1[:sd].T, w1[sd:].T, b1[:, None], w2.T, b2[:, None], w3.T,
+      b3[:, None], goal[:, None], weights[:, None])
+    return (costs[:, 0, :num_candidates],
+            actions[:, :, :, :num_candidates])

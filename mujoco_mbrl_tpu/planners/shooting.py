@@ -150,6 +150,7 @@ def cem_batched(key: jax.Array, initial_states: jnp.ndarray,
                 action_low: float = -1.0, action_high: float = 1.0,
                 min_std: float = 1e-2, alpha: float = 0.1,
                 rollout_costs_fn: Optional[Callable] = None,
+                sample_costs_fn: Optional[Callable] = None,
                 return_states: bool = True) -> Trajectory:
     """CEM for a whole env batch in ONE call (the lockstep-MPC hot path).
 
@@ -195,12 +196,21 @@ def cem_batched(key: jax.Array, initial_states: jnp.ndarray,
 
     def iteration(carry, ikey):
         mean, std = carry                               # (B, H, ad)
-        mean_t = mean.transpose(1, 2, 0)                # (H, ad, B)
-        std_t = std.transpose(1, 2, 0)
-        eps = jax.random.normal(ikey, (H, ad, B, K), dtype)
-        actions = jnp.clip(mean_t[..., None] + std_t[..., None] * eps,
-                           action_low, action_high)     # (H, ad, B, K)
-        costs = total_costs(actions)                    # (B, K)
+        if sample_costs_fn is not None:
+            # fully-fused path: sampling happens inside the kernel
+            # (ops.mlp_sample_rollout_costs); actions come back
+            # (B, H, ad, K) for the elite refit
+            seed = jax.random.randint(ikey, (), 0, jnp.iinfo(jnp.int32).max)
+            costs, actions = sample_costs_fn(seed, mean, std)
+            a_spec = 'bhdk'
+        else:
+            mean_t = mean.transpose(1, 2, 0)            # (H, ad, B)
+            std_t = std.transpose(1, 2, 0)
+            eps = jax.random.normal(ikey, (H, ad, B, K), dtype)
+            actions = jnp.clip(mean_t[..., None] + std_t[..., None] * eps,
+                               action_low, action_high)  # (H, ad, B, K)
+            costs = total_costs(actions)                # (B, K)
+            a_spec = 'hdbk'
         _, elite_idx = jax.lax.top_k(-costs, num_elites)  # (B, E)
         # Elite mean/std via a masked reduction over K instead of a
         # take_along_axis gather: gathering (H, ad, B, E) from the
@@ -208,8 +218,9 @@ def cem_batched(key: jax.Array, initial_states: jnp.ndarray,
         # while two fused masked reductions are one streaming pass.
         member = jnp.zeros((B, K), dtype).at[
             jnp.arange(B)[:, None], elite_idx].set(1.0)
-        sum1 = jnp.einsum('hdbk,bk->bhd', actions, member)
-        sum2 = jnp.einsum('hdbk,hdbk,bk->bhd', actions, actions, member)
+        sum1 = jnp.einsum(f'{a_spec},bk->bhd', actions, member)
+        sum2 = jnp.einsum(f'{a_spec},{a_spec},bk->bhd', actions, actions,
+                          member)
         new_mean = sum1 / num_elites
         var = jnp.maximum(sum2 / num_elites - new_mean * new_mean, 0.0)
         new_std = jnp.sqrt(var)

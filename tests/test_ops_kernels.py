@@ -141,3 +141,35 @@ def test_cem_batched_return_states_false(setup):
     assert t.states is None
     assert t.actions.shape == (6, 4, ad)
     assert np.isfinite(np.asarray(t.actions)).all()
+
+
+_ON_TPU = jax.devices()[0].platform in ('tpu', 'axon')
+
+
+@pytest.mark.skipif(not _ON_TPU, reason='in-kernel PRNG (pltpu.prng_*) '
+                    'has no CPU lowering; validated on TPU hardware')
+def test_sample_rollout_costs_parity_on_tpu(setup):
+    """Fully-fused sampling kernel: costs must equal the reference rollout
+    evaluated on the very actions the kernel sampled, and the stream must
+    be deterministic in the seed."""
+    from mujoco_mbrl_tpu.ops import (mlp_sample_rollout_costs,
+                                     mlp_rollout_costs_reference)
+    model, params, s0_kxd, acts, goal, w = setup
+    B, K, H = 4, 64, 8
+    sd, ad = model.state_dim, model.action_dim
+    s0 = jax.random.normal(jax.random.PRNGKey(9), (B, sd))
+    mean = jnp.zeros((B, H, ad))
+    std = jnp.ones((B, H, ad)) * 0.5
+    costs, actions = mlp_sample_rollout_costs(
+        params, 3, s0, mean, std, goal, w, num_candidates=K)
+    a = np.asarray(actions)
+    assert abs(a.mean()) < 0.05 and 0.3 < a.std() < 0.55
+    flat = jnp.asarray(a).transpose(1, 0, 3, 2).reshape(H, B * K, ad)
+    s0f = jnp.broadcast_to(s0[:, None], (B, K, sd)).reshape(B * K, sd)
+    ref = mlp_rollout_costs_reference(params, s0f, flat, goal,
+                                      w).reshape(B, K)
+    np.testing.assert_allclose(np.asarray(costs), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    c2, _ = mlp_sample_rollout_costs(
+        params, 3, s0, mean, std, goal, w, num_candidates=K)
+    np.testing.assert_array_equal(np.asarray(costs), np.asarray(c2))
