@@ -110,6 +110,7 @@ class BatchedMPCPolicy:
                  action_dim: int, num_envs: int,
                  planner_kwargs: Optional[dict] = None,
                  rollout_costs_fn: Optional[Callable] = None,
+                 sample_costs_builder: Optional[Callable] = None,
                  plan_on_observations: bool = True):
         self.model = model
         self.cost = cost
@@ -120,6 +121,9 @@ class BatchedMPCPolicy:
         cfg.pop('action_dim', None)
         self.cfg = cfg
         self.rollout_costs_fn = rollout_costs_fn
+        # builder(obs_mat) -> sample_costs_fn: binds the per-step initial
+        # states into the fully-fused sampling kernel (TPU only)
+        self.sample_costs_builder = sample_costs_builder
         self.plan_on_observations = plan_on_observations
 
     def init_carry(self):
@@ -133,6 +137,8 @@ class BatchedMPCPolicy:
         valid = jnp.logical_and(valid, t != 0)
         init_mean = jnp.where(valid, last_actions,
                               jnp.zeros_like(last_actions))
+        scf = (self.sample_costs_builder(obs_mat)
+               if self.sample_costs_builder is not None else None)
         traj = P.cem_batched(
             key, obs_mat, self.model, self.cost, self.horizon,
             self.action_dim,
@@ -142,7 +148,9 @@ class BatchedMPCPolicy:
             init_mean=init_mean.transpose(1, 0, 2),
             action_low=self.cfg['action_low'],
             action_high=self.cfg['action_high'],
-            rollout_costs_fn=self.rollout_costs_fn,
+            rollout_costs_fn=None if scf is not None
+            else self.rollout_costs_fn,
+            sample_costs_fn=scf,
             return_states=False)
         return traj.actions[0], (jnp.ones((), jnp.bool_), traj.actions)
 
@@ -358,11 +366,34 @@ class GoalStateAgent(MPCAgent):
             rc = lambda s0T, aT: ops.mlp_rollout_costs_t(
                 params, s0T, aT, goal_state, self.state_cost_weights,
                 normalizers=norms, alpha_action=self.action_cost_alpha)
+        build = self._sample_costs_builder(params, norms)
+        scb = ((lambda obs: build(obs, goal_state))
+               if build is not None else None)
         return BatchedMPCPolicy(
             model=model_fn, cost=cost, horizon=self.horizon,
             action_dim=env.action_dim, num_envs=n,
             planner_kwargs=self.planner_kwargs, rollout_costs_fn=rc,
+            sample_costs_builder=scb,
             plan_on_observations=self.obs_only)
+
+    def _sample_costs_builder(self, params, norms):
+        """On TPU, the fully-fused sampling kernel (in-kernel PRNG has no
+        CPU lowering); returns a builder bound per planner call."""
+        from .. import ops
+        from ..ops.cem_rollout import _supports_pallas
+        if not (_supports_pallas()
+                and type(self.model) is Mo.MLPDynamics
+                and self.model.noise is None):
+            return None
+
+        def build(obs_mat, goal_state):
+            return lambda seed, mean, std: ops.mlp_sample_rollout_costs(
+                params, seed, obs_mat, mean, std, goal_state,
+                self.state_cost_weights, normalizers=norms,
+                alpha_action=self.action_cost_alpha,
+                num_candidates={**P.CEMPlanner.defaults,
+                                **self.planner_kwargs}['num_candidates'])
+        return build
 
     def _policy_collect(self, n):
         """Jitted: collect n MPC rollouts for given (params, norms, goal).
