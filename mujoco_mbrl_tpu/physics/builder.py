@@ -1,0 +1,211 @@
+"""Programmatic MJCF model building (PyMJCF-lite).
+
+A small, dependency-free analogue of dm_control's PyMJCF core workflow
+(reference ``dm_control/dm_control/mjcf/``: ``RootElement`` DOM
+construction, model composition via ``attach`` with automatic name
+scoping): build an element tree in Python, compose sub-models with
+prefixed names, serialize to MJCF XML, and compile straight to this
+engine's Model pytree.
+
+Scope: the attribute/element subset the compiler understands
+(option/default/worldbody/tendon/equality/actuator/contact trees). The
+schema-validated DOM, per-element physics bindings, and debugging layers
+of full PyMJCF are out of scope (SURVEY §7 cut list) — this covers the
+construction/composition workflow that reference users script against.
+
+Example::
+
+    root = RootElement(model='pendulum')
+    root.option(timestep=0.002)
+    body = root.worldbody.add('body', name='pole', pos=[0, 0, 1])
+    body.add('joint', name='hinge', type='hinge', axis=[0, 1, 0])
+    body.add('geom', name='mass', type='sphere', size=[0.05], mass=1)
+    root.actuator.add('motor', name='torque', joint='hinge', gear=1)
+    model = root.compile()
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from . import mjcf
+
+# attributes whose values reference named elements — rewritten on attach
+_NAME_REFS = ('name', 'joint', 'tendon', 'tendon1', 'tendon2', 'site',
+              'body1', 'body2', 'class', 'childclass', 'target')
+# attributes that define (not reference) a scoped name
+_NAME_DEFS = ('name',)
+
+
+def _fmt(value: Any) -> str:
+    if isinstance(value, str):
+        return value
+    if isinstance(value, bool):
+        return 'true' if value else 'false'
+    if isinstance(value, (int, float, np.integer, np.floating)):
+        return repr(float(value)) if isinstance(value, float) else str(value)
+    arr = np.asarray(value).reshape(-1)
+    return ' '.join(repr(float(v)) if isinstance(v, (float, np.floating))
+                    else str(v) for v in arr.tolist())
+
+
+class Element:
+    """One MJCF element: tag, attributes, ordered children."""
+
+    def __init__(self, tag: str, **attrs: Any):
+        self.tag = tag
+        self.attrs: Dict[str, str] = {k: _fmt(v) for k, v in attrs.items()
+                                      if v is not None}
+        self.children: List['Element'] = []
+        self._parent: Optional['Element'] = None
+
+    # -- construction ----------------------------------------------------
+    def add(self, tag: str, **attrs: Any) -> 'Element':
+        """Append a child element and return it (PyMJCF element.add)."""
+        child = Element(tag, **attrs)
+        child._parent = self
+        self.children.append(child)
+        return child
+
+    def set(self, **attrs: Any) -> 'Element':
+        self.attrs.update({k: _fmt(v) for k, v in attrs.items()})
+        return self
+
+    def find(self, tag: str, name: Optional[str] = None
+             ) -> Optional['Element']:
+        """Depth-first search by tag (and name attribute, if given)."""
+        for c in self.children:
+            if c.tag == tag and (name is None or c.attrs.get('name') == name):
+                return c
+            got = c.find(tag, name)
+            if got is not None:
+                return got
+        return None
+
+    def all(self, tag: str) -> List['Element']:
+        out = []
+        for c in self.children:
+            if c.tag == tag:
+                out.append(c)
+            out.extend(c.all(tag))
+        return out
+
+    # -- serialization ---------------------------------------------------
+    def to_xml_string(self, indent: int = 0) -> str:
+        pad = '  ' * indent
+        attrs = ''.join(f" {k}='{v}'" for k, v in self.attrs.items())
+        if not self.children:
+            return f'{pad}<{self.tag}{attrs}/>\n'
+        inner = ''.join(c.to_xml_string(indent + 1) for c in self.children)
+        return f'{pad}<{self.tag}{attrs}>\n{inner}{pad}</{self.tag}>\n'
+
+    # -- composition -----------------------------------------------------
+    def _prefix_names(self, prefix: str) -> None:
+        for attr in _NAME_REFS:
+            if attr in self.attrs:
+                self.attrs[attr] = prefix + self.attrs[attr]
+        for c in self.children:
+            c._prefix_names(prefix)
+
+    def attach(self, sub: 'RootElement', prefix: str) -> 'Element':
+        """Graft `sub`'s worldbody under this element with scoped names.
+
+        Every name definition AND name reference inside the sub-model is
+        prefixed (the role of PyMJCF's namescope, mjcf/namescope.py:28),
+        and the sub-model's tendon/equality/actuator/contact sections are
+        merged into this element's root. Returns the attachment frame
+        (this element).
+        """
+        root = self._root()
+        sub = copy.deepcopy(sub)
+        for section in ('worldbody', 'tendon', 'equality', 'actuator',
+                        'contact', 'default'):
+            sec = sub._sections.get(section)
+            if sec is None or not sec.children:
+                continue
+            for c in sec.children:
+                # 'class' is in the prefixed attribute set, so default
+                # class definitions and their references scope together
+                c._prefix_names(prefix)
+            target = (self if section == 'worldbody'
+                      else root._section(section))
+            for c in sec.children:
+                c._parent = target
+            target.children.extend(sec.children)
+        return self
+
+    def _root(self) -> 'RootElement':
+        node = self
+        while getattr(node, '_parent', None) is not None:
+            node = node._parent
+        assert isinstance(node, RootElement), 'element is detached'
+        return node
+
+
+class RootElement(Element):
+    """The `<mujoco>` document root (PyMJCF mjcf.RootElement analogue)."""
+
+    def __init__(self, model: str = 'model'):
+        super().__init__('mujoco', model=model)
+        self._parent = None
+        self._sections: Dict[str, Element] = {}
+        # worldbody always exists; other sections materialize on use
+        self.worldbody = self._section('worldbody')
+
+    def _section(self, tag: str) -> Element:
+        if tag not in self._sections:
+            sec = Element(tag)
+            sec._parent = self
+            self._sections[tag] = sec
+            self.children.append(sec)
+        return self._sections[tag]
+
+    def _link_parents(self):
+        def walk(el):
+            for c in el.children:
+                c._parent = el
+                walk(c)
+        walk(self)
+
+    # common sections as properties
+    @property
+    def actuator(self) -> Element:
+        return self._section('actuator')
+
+    @property
+    def tendon(self) -> Element:
+        return self._section('tendon')
+
+    @property
+    def equality(self) -> Element:
+        return self._section('equality')
+
+    @property
+    def contact(self) -> Element:
+        return self._section('contact')
+
+    @property
+    def default(self) -> Element:
+        return self._section('default')
+
+    def option(self, **attrs: Any) -> Element:
+        return self._section('option').set(**attrs)
+
+    def compiler(self, **attrs: Any) -> Element:
+        return self._section('compiler').set(**attrs)
+
+    def to_xml_string(self, indent: int = 0) -> str:  # noqa: D102
+        # emit sections in the canonical MJCF order
+        order = {'compiler': 0, 'option': 1, 'default': 2, 'worldbody': 3,
+                 'contact': 4, 'tendon': 5, 'equality': 6, 'actuator': 7}
+        self.children.sort(key=lambda c: order.get(c.tag, 8))
+        return super().to_xml_string(indent)
+
+    def compile(self):
+        """Compile to this engine's Model pytree (mjcf.Physics.from_mjcf_
+        model analogue: reference mjcf/physics.py:276)."""
+        self._link_parents()
+        return mjcf.parse(self.to_xml_string())
