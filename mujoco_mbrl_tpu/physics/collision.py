@@ -46,6 +46,9 @@ _PAIR_POINTS = {
     (M.SPHERE, M.BOX): 1,
     (M.CAPSULE, M.BOX): 2,
     (M.BOX, M.BOX): 8,
+    (M.HFIELD, M.SPHERE): 1,
+    (M.HFIELD, M.CAPSULE): 2,
+    (M.HFIELD, M.ELLIPSOID): 1,
 }
 
 
@@ -75,7 +78,10 @@ def candidate_pairs(m: M.Model,
             key = (t1, t2) if (t1, t2) in _PAIR_POINTS else (t2, t1)
             if key not in _PAIR_POINTS:
                 continue
-            if not include_geom_geom and M.PLANE not in (t1, t2):
+            # terrain (plane/heightfield) pairs are always candidates;
+            # geom-geom pairs only when enabled for the model
+            if (not include_geom_geom and M.PLANE not in (t1, t2)
+                    and M.HFIELD not in (t1, t2)):
                 continue
             # order so the canonical type comes first
             if (t1, t2) == key:
@@ -338,6 +344,93 @@ def _k_box_box(p1, R1, s1, p2, R2, s2):
             jnp.concatenate([n_a, n_b]))
 
 
+# --------------------------------------------------------------------------
+# Heightfield terrain (quadruped escape). One hfield asset per model; the
+# surface is sampled bilinearly and contacts are computed against the
+# local tangent plane (height + finite-difference normal).
+# --------------------------------------------------------------------------
+
+def hfield_height_normal(m: M.Model, x, y):
+    """Terrain height and outward normal at world (x, y)."""
+    rx, ry = m.hfield_size[0], m.hfield_size[1]
+    z_top = m.hfield_size[2]
+    px, py, pz = m.hfield_pos[0], m.hfield_pos[1], m.hfield_pos[2]
+    nrow, ncol = m.hfield_nrow, m.hfield_ncol
+
+    def sample(xq, yq):
+        u = (xq - px + rx) / (2.0 * rx) * (ncol - 1)
+        v = (yq - py + ry) / (2.0 * ry) * (nrow - 1)
+        u = jnp.clip(u, 0.0, ncol - 1.001)
+        v = jnp.clip(v, 0.0, nrow - 1.001)
+        u0 = jnp.floor(u).astype(jnp.int32)
+        v0 = jnp.floor(v).astype(jnp.int32)
+        fu, fv = u - u0, v - v0
+        d = m.hfield_data
+        h00 = d[v0, u0]
+        h01 = d[v0, u0 + 1]
+        h10 = d[v0 + 1, u0]
+        h11 = d[v0 + 1, u0 + 1]
+        h = ((1 - fv) * ((1 - fu) * h00 + fu * h01)
+             + fv * ((1 - fu) * h10 + fu * h11))
+        return h * z_top + pz
+
+    h = sample(x, y)
+    eps_x = 2.0 * rx / (ncol - 1)
+    eps_y = 2.0 * ry / (nrow - 1)
+    dhdx = (sample(x + eps_x, y) - sample(x - eps_x, y)) / (2 * eps_x)
+    dhdy = (sample(x, y + eps_y) - sample(x, y - eps_y)) / (2 * eps_y)
+    n = jnp.stack([-dhdx, -dhdy, jnp.ones_like(dhdx)])
+    return h, n / jnp.linalg.norm(n)
+
+
+def _hf_point(m, point, radius):
+    """Sphere-of-radius at `point` vs the terrain's tangent plane."""
+    h, n = hfield_height_normal(m, point[0], point[1])
+    q = jnp.stack([point[0], point[1], h])
+    dist = n @ (point - q) - radius
+    pos = point - n * (radius + 0.5 * dist)
+    return dist, pos, n
+
+
+def _k_hfield_sphere(m):
+    def kernel(p1, R1, s1, p2, R2, s2):
+        d, pos, n = _hf_point(m, p2, s2[0])
+        return d[None], pos[None], n[None]
+    return kernel
+
+
+def _k_hfield_capsule(m):
+    def kernel(p1, R1, s1, p2, R2, s2):
+        e0, e1 = _seg_of(p2, R2, s2[1])
+        d0, pos0, n0 = _hf_point(m, e0, s2[0])
+        d1, pos1, n1 = _hf_point(m, e1, s2[0])
+        return (jnp.stack([d0, d1]), jnp.stack([pos0, pos1]),
+                jnp.stack([n0, n1]))
+    return kernel
+
+
+def _k_hfield_ellipsoid(m):
+    def kernel(p1, R1, s1, p2, R2, s2):
+        # support point of the ellipsoid against the local tangent plane
+        h, n = hfield_height_normal(m, p2[0], p2[1])
+        n_loc = R2.T @ n
+        scaled = s2 * n_loc
+        r = jnp.sqrt(jnp.sum(scaled * scaled) + 1e-24)
+        q = jnp.stack([p2[0], p2[1], h])
+        d = n @ (p2 - q) - r
+        point = p2 + R2 @ (-(s2 * scaled) / r)
+        pos = point - 0.5 * d * n
+        return d[None], pos[None], n[None]
+    return kernel
+
+
+_HFIELD_KERNELS = {
+    (M.HFIELD, M.SPHERE): _k_hfield_sphere,
+    (M.HFIELD, M.CAPSULE): _k_hfield_capsule,
+    (M.HFIELD, M.ELLIPSOID): _k_hfield_ellipsoid,
+}
+
+
 _KERNELS = {
     (M.PLANE, M.SPHERE): _k_plane_sphere,
     (M.PLANE, M.CAPSULE): _k_plane_capsule,
@@ -411,7 +504,9 @@ def detect(m: M.Model, geom_xpos, geom_xmat,
         k = _PAIR_POINTS[key]
         ga = np.array([pairs[i][0] for i in idxs])
         gb = np.array([pairs[i][1] for i in idxs])
-        d, p, n = jax.vmap(_KERNELS[key])(
+        fn = (_HFIELD_KERNELS[key](m) if key in _HFIELD_KERNELS
+              else _KERNELS[key])
+        d, p, n = jax.vmap(fn)(
             geom_xpos[ga], geom_xmat[ga], m.geom_size[ga],
             geom_xpos[gb], geom_xmat[gb], m.geom_size[gb])
         rows = np.concatenate([offsets[i] + np.arange(k) for i in idxs])

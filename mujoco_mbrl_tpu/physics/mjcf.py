@@ -97,9 +97,9 @@ def _floats(s: str) -> np.ndarray:
 
 _JOINT_TYPES = {'free': M.FREE, 'ball': M.BALL, 'slide': M.SLIDE,
                 'hinge': M.HINGE}
-_GEOM_TYPES = {'plane': M.PLANE, 'sphere': M.SPHERE, 'capsule': M.CAPSULE,
-               'ellipsoid': M.ELLIPSOID, 'cylinder': M.CYLINDER,
-               'box': M.BOX}
+_GEOM_TYPES = {'plane': M.PLANE, 'hfield': M.HFIELD, 'sphere': M.SPHERE,
+               'capsule': M.CAPSULE, 'ellipsoid': M.ELLIPSOID,
+               'cylinder': M.CYLINDER, 'box': M.BOX}
 _QPOS_WIDTH = {M.FREE: 7, M.BALL: 4, M.SLIDE: 1, M.HINGE: 1}
 _DOF_WIDTH = {M.FREE: 6, M.BALL: 3, M.SLIDE: 1, M.HINGE: 1}
 
@@ -598,6 +598,22 @@ def parse(xml_string: str, dtype=np.float32) -> M.Model:
     # ---- actuators -----------------------------------------------------------
     act_names: Dict[str, int] = {}
     acts = []
+    # ---- heightfield asset (at most one; quadruped escape) ------------------
+    hfield_nrow = hfield_ncol = 0
+    hfield_size = None
+    hfield_pos = np.zeros(3)
+    asset_el = root.find('asset')
+    if asset_el is not None:
+        for ael in asset_el:
+            if ael.tag == 'hfield':
+                hfield_nrow = int(ael.attrib.get('nrow', 0))
+                hfield_ncol = int(ael.attrib.get('ncol', 0))
+                hfield_size = _floats(ael.attrib['size'])
+    if hfield_nrow:
+        for g in b.geoms:
+            if g['type'] == M.HFIELD:
+                hfield_pos = np.asarray(g['pos'])
+
     # ---- explicit contact excludes ------------------------------------------
     contact_excludes = []
     contact_el = root.find('contact')
@@ -782,4 +798,10 @@ def parse(xml_string: str, dtype=np.float32) -> M.Model:
         actuator_actadr=tuple(actadr),
         actuator_dynprm=arr([a['dynprm'] for a in acts], shape=(0, 3)),
         contact_excludes=contact_excludes,
+        hfield_nrow=hfield_nrow, hfield_ncol=hfield_ncol,
+        hfield_data=(jnp.zeros((hfield_nrow, hfield_ncol), dtype)
+                     if hfield_nrow else None),
+        hfield_size=(arr(hfield_size) if hfield_size is not None
+                     else None),
+        hfield_pos=(arr(hfield_pos) if hfield_nrow else None),
     )

@@ -196,6 +196,15 @@ class Model:
     contact_excludes: Tuple[Tuple[int, int], ...] = struct.field(
         pytree_node=False, default=())
 
+    # heightfield terrain (one hfield asset max; quadruped escape).
+    # hfield_data is a pytree LEAF so tasks can regenerate terrain per
+    # episode (reference quadruped.py Escape writes model.hfield_data).
+    hfield_nrow: int = struct.field(pytree_node=False, default=0)
+    hfield_ncol: int = struct.field(pytree_node=False, default=0)
+    hfield_data: Optional[jnp.ndarray] = None    # (nrow, ncol) in [0, 1]
+    hfield_size: Optional[jnp.ndarray] = None    # (4,) rx, ry, z_top, z_base
+    hfield_pos: Optional[jnp.ndarray] = None     # (3,) geom position
+
     # ----------------------------------------------------------------------
     def name2id(self, kind: str, name: str) -> int:
         """Map an MJCF name to its index. kind in {body,joint,geom,site,actuator,tendon}."""

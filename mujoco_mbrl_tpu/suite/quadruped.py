@@ -82,8 +82,14 @@ def _actuator_xml(leg: str) -> str:
     <general name='extend_{leg}' class='extend_act' tendon='extend_{leg}'/>"""
 
 
-def _make_xml(floor_size: float, walls_and_ball: bool = False) -> str:
+def _make_xml(floor_size: float, walls_and_ball: bool = False,
+              terrain: bool = False) -> str:
     extras = ''
+    asset = ''
+    if terrain:
+        asset = ("<asset><hfield name='terrain' nrow='201' ncol='201' "
+                 "size='30 30 5 .1'/></asset>")
+        extras += "\n    <geom name='terrain' type='hfield' pos='0 0 -.01'/>"
     if walls_and_ball:
         fs = floor_size
         extras = f"""
@@ -110,6 +116,7 @@ def _make_xml(floor_size: float, walls_and_ball: bool = False) -> str:
     return f"""
 <mujoco model='quadruped'>
   <option timestep='.005'/>
+  {asset}
   <default>
     <geom solimp='.9 .99 .003' solref='.01 1'/>
     <general ctrllimited='true' gainprm='1000' biasprm='0 -1000'
@@ -236,6 +243,97 @@ def _non_contacting_qpos(model, qpos):
     return qpos.at[2].add(jnp.maximum(-min_dist, 0.0) + 0.01)
 
 
+_TERRAIN_RES = 201          # hfield grid resolution (reference: 201)
+_TERRAIN_SIZE = 30.0        # half-extent in meters (reference: 30)
+_TERRAIN_SMOOTHNESS = 0.15
+_TERRAIN_BUMP_SCALE = 2.0
+
+# rangefinder rays: (from, to) endpoints in the torso frame, transcribed
+# from the reference's rf_* site fromto values (ray = site +z = to-from)
+_RF_ENDPOINTS = [
+    ((.41, y, z0), (x1, 0.0, z1))
+    for (z0, x1, z1) in ((.11, .34, .115), (.1, .36, .11),
+                         (.09, .38, .105), (.08, .40, .10))
+    for y in (-.02, -.01, 0.0, .01, .02)
+]
+
+
+def _generate_terrain(key):
+    """Sinusoidal bowl x random smooth bumps (quadruped.py Escape init)."""
+    res = _TERRAIN_RES
+    grid = jnp.linspace(-1.0, 1.0, res)
+    radius = jnp.clip(jnp.sqrt(grid[None, :] ** 2 + grid[:, None] ** 2),
+                      0.04, 1.0)
+    bowl = 0.5 - jnp.cos(2 * jnp.pi * radius) / 2.0
+    bump_res = int(2 * _TERRAIN_SIZE / _TERRAIN_BUMP_SCALE)
+    bumps = jax.random.uniform(key, (bump_res, bump_res),
+                               minval=_TERRAIN_SMOOTHNESS, maxval=1.0)
+    smooth_bumps = jax.image.resize(bumps, (res, res), method='cubic')
+    return bowl * smooth_bumps
+
+
+def _rangefinder(model, data, qvel_unused=None, max_range=10.0,
+                 n_steps: int = 64):
+    """20 ray readings against the heightfield terrain, tanh-scaled with
+    no-hit mapped to 1.0 (quadruped.py Physics.rangefinder)."""
+    torso = model.name2id('body', 'torso')
+    R = data.ximat[torso]
+    p0 = data.xpos[torso]
+
+    def one(ep):
+        frm, to = jnp.asarray(ep[0]), jnp.asarray(ep[1])
+        origin = p0 + R @ frm
+        direction = R @ (to - frm)
+        direction = direction / jnp.linalg.norm(direction)
+        ts = jnp.linspace(0.0, max_range, n_steps)
+        pts = origin[None] + ts[:, None] * direction[None]
+        hs = jax.vmap(lambda p: collision.hfield_height_normal(
+            model, p[0], p[1])[0])(pts)
+        below = pts[:, 2] < hs
+        below = below.at[0].set(False)      # ignore the origin sample
+        hit = below.any()
+        idx = jnp.maximum(jnp.argmax(below), 1)
+        reading = jnp.where(hit, ts[idx], -1.0)
+        return jnp.where(reading == -1.0, 1.0, jnp.tanh(reading))
+
+    return jnp.stack([one(ep) for ep in _RF_ENDPOINTS])
+
+
+class Escape(base.Task):
+    """Escape the bowl-shaped terrain (quadruped.py:361-424)."""
+
+    def initialize_episode(self, model, key):
+        k1, k2 = jax.random.split(key)
+        terrain = _generate_terrain(k1)
+        model = model.replace(hfield_data=terrain)
+        quat = jax.random.normal(k2, (4,))
+        quat = quat / jnp.linalg.norm(quat)
+        qpos = jnp.asarray(model.qpos0)
+        qpos = qpos.at[0:3].set(jnp.zeros(3)).at[3:7].set(quat)
+        qpos = _non_contacting_qpos(model, qpos)
+        return make_state(model, qpos=qpos), terrain
+
+    def apply_params(self, model, params):
+        return model.replace(hfield_data=params)
+
+    def get_observation(self, model, phys, data):
+        obs = _common_observations(model, phys, data)
+        torso = model.name2id('body', 'torso')
+        # origin position in the torso frame (Physics.origin)
+        obs['origin'] = -(data.xpos[torso] @ data.ximat[torso])
+        obs['rangefinder'] = _rangefinder(model, data)
+        return obs
+
+    def get_reward(self, model, phys, data, ctrl):
+        ws = model.name2id('site', 'workspace')
+        escape_reward = rewards.tolerance(
+            jnp.linalg.norm(data.site_xpos[ws]),
+            bounds=(_TERRAIN_SIZE, float('inf')),
+            margin=_TERRAIN_SIZE, value_at_margin=0, sigmoid='linear')
+        return _upright_reward(model, data,
+                               deviation_angle=20) * escape_reward
+
+
 class Move(base.Task):
     """Move forward at a desired speed (reference quadruped.py:317-358)."""
 
@@ -358,6 +456,12 @@ def walk(time_limit=_DEFAULT_TIME_LIMIT, environment_kwargs=None):
 def run(time_limit=_DEFAULT_TIME_LIMIT, environment_kwargs=None):
     xml = _make_xml(floor_size=_DEFAULT_TIME_LIMIT * _RUN_SPEED)
     return _env(Move(_RUN_SPEED), xml, time_limit, environment_kwargs)
+
+
+@SUITE.add()
+def escape(time_limit=_DEFAULT_TIME_LIMIT, environment_kwargs=None):
+    xml = _make_xml(floor_size=40, terrain=True)
+    return _env(Escape(), xml, time_limit, environment_kwargs)
 
 
 @SUITE.add()
