@@ -187,11 +187,21 @@ def epoch_batches(buf: ReplayBuffer, key: jax.Array, batch_size: int,
     per_roll = buf.rollout_length - horizon  # reference excludes tail start
     per_roll = max(per_roll, 1)
     total = R * per_roll
+    key, fill_key = jax.random.split(key)
     perm = jax.random.permutation(key, total)
     roll_idx = perm // per_roll
     start = perm % per_roll
-    # fold invalid rollouts onto valid ones (uniform-ish remap)
-    roll_idx = roll_idx % jnp.maximum(buf.filled, 1)
+    # Remap entries pointing at unfilled rollouts onto uniformly-random
+    # valid ones. A plain `roll_idx % filled` would over-weight low-index
+    # rollouts while the buffer fills (exactly when the model is most
+    # data-distribution sensitive); an independent uniform draw keeps every
+    # filled rollout equally likely.
+    filled = jnp.maximum(buf.filled, 1)
+    rand_valid = jnp.floor(
+        jax.random.uniform(fill_key, roll_idx.shape) * filled
+    ).astype(roll_idx.dtype)
+    rand_valid = jnp.minimum(rand_valid, filled - 1)
+    roll_idx = jnp.where(roll_idx < filled, roll_idx, rand_valid)
     num_batches = total // batch_size
     roll_idx = roll_idx[:num_batches * batch_size].reshape(num_batches,
                                                            batch_size)

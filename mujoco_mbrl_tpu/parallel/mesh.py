@@ -89,7 +89,7 @@ def dp_train_step(mesh: Mesh, model, optimizer, normalizers=None,
     where `batch` dict arrays have a leading dim divisible by the axis size.
     """
     import optax
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def local_step(params, opt_state, batch):
         def loss_fn(p):
@@ -107,5 +107,5 @@ def dp_train_step(mesh: Mesh, model, optimizer, normalizers=None,
         local_step, mesh=mesh,
         in_specs=(P(), P(), P(axis)),
         out_specs=(P(), P(), P()),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(sharded)

@@ -266,9 +266,15 @@ def parse(xml_string: str, dtype=np.float32) -> M.Model:
     density = 0.0
     wind = np.zeros(3)
     disableflags = 0
+    cone = 'pyramidal'
+    impratio = 1.0
+    solver_iterations = 30
     opt_el = root.find('option')
     if opt_el is not None:
         timestep = float(opt_el.get('timestep', timestep))
+        cone = opt_el.get('cone', cone)
+        impratio = float(opt_el.get('impratio', impratio))
+        solver_iterations = int(opt_el.get('iterations', 30))
         if 'gravity' in opt_el.attrib:
             gravity = _floats(opt_el.get('gravity'))
         if opt_el.get('integrator', 'Euler') == 'RK4':
@@ -374,7 +380,10 @@ def parse(xml_string: str, dtype=np.float32) -> M.Model:
         limited = attrs.get('limited', 'false') in ('true', '1')
         if 'range' in attrs:
             rng = _floats(attrs['range'])
-            if jtype in (M.HINGE, M.BALL):
+            # MuJoCo leaves the (inert) range of explicitly-unlimited
+            # joints unconverted (fish.xml tail joints, limited='false');
+            # mirror that so jnt_range matches mjModel bit-for-bit.
+            if jtype in (M.HINGE, M.BALL) and limited:
                 rng = np.array([b.angle(rng[0]), b.angle(rng[1])])
         solref = _DEFAULT_SOLREF.copy()
         if 'solreflimit' in attrs:
@@ -508,6 +517,13 @@ def parse(xml_string: str, dtype=np.float32) -> M.Model:
         else:
             qpos0[adr] = j['ref']
             qpos_spring[adr] = j['springref']
+
+    # The world body never moves: MuJoCo keeps it massless regardless of
+    # attached geoms (decorations, floor planes); mirror that so body_mass
+    # matches mjModel exactly (and settotalmass rescales moving mass only).
+    b.body_mass[0] = 0.0
+    b.body_first_moment[0] = np.zeros(3)
+    b.body_inertia_at_origin[0] = np.zeros((3, 3))
 
     # ---- compiler settotalmass: rescale all masses/inertias ----------------
     if settotalmass is not None:
@@ -724,11 +740,13 @@ def parse(xml_string: str, dtype=np.float32) -> M.Model:
              'geom': b.geom_names, 'site': b.site_names,
              'actuator': act_names, 'tendon': tendon_names}
 
-    return M.Model(
+    model = M.Model(
         opt=M.Option(
             timestep=arr(timestep), gravity=arr(gravity),
             viscosity=arr(viscosity), density=arr(density), wind=arr(wind),
-            integrator=integrator, disableflags=disableflags),
+            integrator=integrator, disableflags=disableflags,
+            cone=cone, impratio=impratio,
+            solver_iterations=solver_iterations),
         nq=nq, nv=nv, nu=nu, nbody=nbody, njnt=njnt,
         ngeom=len(b.geoms), nsite=len(b.sites), ntendon=ntendon,
         body_parent=tuple(b.body_parent),
@@ -805,3 +823,122 @@ def parse(xml_string: str, dtype=np.float32) -> M.Model:
                      else None),
         hfield_pos=(arr(hfield_pos) if hfield_nrow else None),
     )
+    return _with_invweight0(model)
+
+
+def _with_invweight0(model: 'M.Model') -> 'M.Model':
+    """Fill dof/body/tendon_invweight0 constants computed at qpos0.
+
+    mj_setConst semantics: with M the joint-space inertia at the reference
+    configuration, dof_invweight0 = diag(M^-1); body_invweight0[b] is the
+    mean diagonal of the translational (resp. rotational) block of
+    J_com M^-1 J_com' at the body CoM; tendon_invweight0 = r M^-1 r' for
+    the tendon's moment row. Verified against mjModel.*_invweight0 by
+    tests/test_parity_model.py.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+    from . import smooth
+    from .solver import ancestor_dof_mask
+
+    nv, nbody = model.nv, model.nbody
+    if nv == 0:
+        return model
+    meta = smooth.tree_meta(model)
+    qpos0 = jnp.asarray(model.qpos0)
+    (xpos, xquat, _xmat, _gxp, _gxm, _sxp,
+     xanchor, xaxis) = smooth.kinematics(model, qpos0, meta)
+    xipos = smooth.com_positions(model, xpos, xquat)
+    cdof = smooth.motion_subspace(model, xquat, xanchor, xaxis, meta)
+    cinert = smooth.body_spatial_inertia(model, xquat, xipos)
+    qM = np.asarray(smooth.crba(model, cdof, cinert, meta), np.float64)
+    Minv = np.linalg.inv(qM)
+
+    dof_iw = np.diag(Minv).copy()
+    # free/ball joints: MuJoCo assigns each 3-dof translation/rotation
+    # group the group MEAN of diag(M^-1) (probed vs mjModel.dof_invweight0)
+    for j in range(model.njnt):
+        adr = model.jnt_dofadr[j]
+        if model.jnt_type[j] == M.FREE:
+            dof_iw[adr:adr + 3] = dof_iw[adr:adr + 3].mean()
+            dof_iw[adr + 3:adr + 6] = dof_iw[adr + 3:adr + 6].mean()
+        elif model.jnt_type[j] == M.BALL:
+            dof_iw[adr:adr + 3] = dof_iw[adr:adr + 3].mean()
+
+    amask = np.asarray(ancestor_dof_mask(model, meta), np.float64)
+    cdof_np = np.asarray(cdof, np.float64)
+    xipos_np = np.asarray(xipos, np.float64)
+    body_ipos_np = np.asarray(model.body_ipos, np.float64)
+    body_mass_np = np.asarray(model.body_mass, np.float64)
+    jnt_axis_np = np.asarray(model.jnt_axis, np.float64)
+    has_child = set(model.body_parent[1:])
+
+    def _simple2(bb):
+        """MuJoCo 'simple body, sliders only' fast path: axis-aligned
+        slide-only leaf body hanging off the world with CoM at the body
+        origin gets invweight 1/mass instead of trace(A)/3 (probed against
+        mjModel.body_simple / body_invweight0 — ball_in_cup ball,
+        point_mass, lqr masses)."""
+        joints = [j for j in range(model.njnt) if model.jnt_body[j] == bb]
+        if not joints or bb in has_child or model.body_parent[bb] != 0:
+            return False
+        for j in joints:
+            if model.jnt_type[j] != M.SLIDE:
+                return False
+            if np.count_nonzero(np.abs(jnt_axis_np[j]) > 1e-12) != 1:
+                return False
+        return bool(np.all(np.abs(body_ipos_np[bb]) < 1e-12))
+
+    has_free = {model.jnt_body[j] for j in range(model.njnt)
+                if model.jnt_type[j] == M.FREE}
+    body_iw = np.zeros((nbody, 2))
+    for bb in range(1, nbody):
+        if _simple2(bb) and body_mass_np[bb] > 0:
+            body_iw[bb] = (1.0 / body_mass_np[bb], 0.0)
+            continue
+        mask = amask[bb][:, None]
+        Jt = (cdof_np[:, 3:]
+              + np.cross(cdof_np[:, :3], xipos_np[bb][None, :])) * mask
+        Jr = cdof_np[:, :3] * mask
+        At = Jt.T @ Minv @ Jt
+        Ar = Jr.T @ Minv @ Jr
+        iw_t = np.trace(At) / 3.0
+        # free-joint LEAF bodies take the exact 1/mass translational weight
+        # (probed: mjModel gives 1/m even with CoM offset from the frame;
+        # free bodies with children keep the trace/3 form)
+        if bb in has_free and bb not in has_child and body_mass_np[bb] > 0:
+            iw_t = 1.0 / body_mass_np[bb]
+        body_iw[bb] = (iw_t, np.trace(Ar) / 3.0)
+
+    ten_iw = np.zeros((model.ntendon,))
+    ten_moment = np.asarray(model.tendon_moment, np.float64)
+    for t in range(model.ntendon):
+        r = ten_moment[t]
+        ten_iw[t] = r @ Minv @ r
+
+    # spatial tendons (ball_in_cup string): moment row at qpos0 for the
+    # limit row's invweight; entries extend to (s1, s2, limited, lo, hi, iw)
+    site_xpos_np = None
+    new_spatial = []
+    for entry in model.spatial_tendons:
+        s1, s2, limited, lo, hi = entry[:5]
+        if site_xpos_np is None:
+            site_xpos_np = np.asarray(_sxp, np.float64)
+        diff = site_xpos_np[s1] - site_xpos_np[s2]
+        u = diff / max(np.linalg.norm(diff), 1e-9)
+        row = np.zeros(nv)
+        for (bb, pp, sgn) in ((model.site_body[s1], site_xpos_np[s1], 1.0),
+                              (model.site_body[s2], site_xpos_np[s2], -1.0)):
+            for k in range(nv):
+                if amask[bb, k]:
+                    v = cdof_np[k, 3:] + np.cross(cdof_np[k, :3], pp)
+                    row[k] += sgn * (u @ v)
+        new_spatial.append((s1, s2, limited, lo, hi,
+                            float(row @ Minv @ row)))
+
+    dtype = model.qpos0.dtype
+    return model.replace(
+        dof_invweight0=jnp.asarray(dof_iw, dtype),
+        body_invweight0=jnp.asarray(body_iw, dtype),
+        tendon_invweight0=jnp.asarray(ten_iw, dtype),
+        spatial_tendons=tuple(new_spatial))

@@ -69,11 +69,20 @@ class Option:
     # row-sequential sweep on TPU); 'pgs' = projected Gauss-Seidel
     # (reference-faithful row ordering, kept for cross-validation).
     solver: str = struct.field(pytree_node=False, default='apgd')
-    # Geom-geom (non-plane) contact pairs: off by default — the planar
-    # locomotion suite filters them via conaffinity anyway; enable for
-    # models that need self-collision.
+    # Friction-cone type (mjOption.cone). 'pyramidal' is MuJoCo's default
+    # and what the whole suite (except finger, cone='elliptic') uses: each
+    # contact expands into 2*(condim-1) non-negative facet rows
+    # J_n ± mu_i * J_ti — on TPU this is the cheaper formulation too, the
+    # projection being a plain relu instead of a second-order-cone map.
+    cone: str = struct.field(pytree_node=False, default='pyramidal')
+    impratio: float = struct.field(pytree_node=False, default=1.0)
+    # Geom-geom (non-plane) contact pairs: ON by default, mirroring
+    # MuJoCo's pair filtering (contype/conaffinity + same-body +
+    # parent-child only). Disabling was round-1's compile-time shortcut,
+    # but it silently drops self-collisions the oracle engine resolves
+    # (hopper nose-thigh, walker leg-leg) and breaks trajectory parity.
     enable_geom_geom_contacts: bool = struct.field(pytree_node=False,
-                                                   default=False)
+                                                   default=True)
 
 
 @struct.dataclass
@@ -158,9 +167,10 @@ class Model:
     tendon_jnt: Tuple[Tuple[Tuple[int, float], ...], ...] = struct.field(
         pytree_node=False)
     # spatial tendons (site-to-site strings): (site1, site2, limited,
-    # range_lo, range_hi) — used for length-limit constraints
-    spatial_tendons: Tuple[Tuple[int, int, bool, float, float], ...] = \
-        struct.field(pytree_node=False)
+    # range_lo, range_hi, invweight0) — used for length-limit constraints;
+    # invweight0 (appended by the compiler at qpos0) feeds the limit row's
+    # regularizer like mjModel.tendon_invweight0 does
+    spatial_tendons: Tuple[Tuple, ...] = struct.field(pytree_node=False)
     # soft tendon-equality constraints: (tendon_id, solref, solimp)
     eq_tendon: Tuple[Tuple[int, Tuple[float, ...], Tuple[float, ...]], ...] \
         = struct.field(pytree_node=False)
@@ -195,6 +205,15 @@ class Model:
     # explicit <contact><exclude> body pairs (humanoid_CMU clavicles)
     contact_excludes: Tuple[Tuple[int, int], ...] = struct.field(
         pytree_node=False, default=())
+
+    # --- constraint-regularization reference weights (mj_setConst) -------
+    # Inverse-weight constants computed once at qpos0; MuJoCo bases every
+    # constraint row's regularizer R = (1-d)/d * diagApprox on these
+    # rather than on the true diag(J M^-1 J'), and matching that is what
+    # makes contact forces agree with the oracle engine.
+    dof_invweight0: Optional[jnp.ndarray] = None    # (nv,) diag(M^-1)|qpos0
+    body_invweight0: Optional[jnp.ndarray] = None   # (nbody, 2) trans/rot
+    tendon_invweight0: Optional[jnp.ndarray] = None  # (ntendon,)
 
     # heightfield terrain (one hfield asset max; quadruped escape).
     # hfield_data is a pytree LEAF so tasks can regenerate terrain per

@@ -65,17 +65,25 @@ def kbi(solref, solimp, pos, timestep):
 
 
 class ConstraintSet:
-    """Assembled rows: J (nr, nv), aref, R, plus block structure."""
+    """Assembled rows: J (nr, nv), aref, R, plus block structure.
+
+    R here is MuJoCo's ABSOLUTE regularizer (1-d)/d * diagApprox built
+    from the *_invweight0 constants — not a scale applied to diag(A).
+    `blocks` kinds: 'limit' (f>=0), 'friction' (|f|<=bound), 'equality'
+    (unbounded), 'facet' (pyramidal facet, f>=0), 'contact' (elliptic
+    3-row cone block). `pyramids` records (first_row, n_dirs) per
+    pyramidal contact for force reconstruction."""
 
     def __init__(self, J, aref, R, active, blocks, mu,
-                 friction_bounds=()):
+                 friction_bounds=(), pyramids=()):
         self.J = J
         self.aref = aref
         self.R = R
         self.active = active
-        self.blocks = blocks      # ('limit'|'friction'|'contact', row idx)
+        self.blocks = blocks      # (kind, row idx)
         self.mu = mu              # (n_contacts,) slide friction
         self.friction_bounds = friction_bounds  # per 'friction' block
+        self.pyramids = pyramids  # ((first_row, n_dirs), ...) static
 
 
 def _limited_joints(m: M.Model) -> Tuple[int, ...]:
@@ -139,6 +147,11 @@ def assemble(m: M.Model, meta, qpos, qvel, cdof,
             n += r.shape[0] if r.ndim > 1 else 1
         return n
 
+    dof_iw = (m.dof_invweight0 if m.dof_invweight0 is not None
+              else jnp.ones((nv,), dtype))
+    body_iw = (m.body_invweight0[:, 0] if m.body_invweight0 is not None
+               else jnp.ones((m.nbody,), dtype))
+
     # ---- dof friction loss (finger spinner hinge) --------------------------
     fl_np = np.asarray(m.dof_frictionloss)
     fl_idx = np.nonzero(fl_np)[0]
@@ -153,7 +166,7 @@ def assemble(m: M.Model, meta, qpos, qvel, cdof,
             friction_bounds.append(m.dof_frictionloss[int(k)])
         rows_J.append(J_fl)
         rows_aref.append(-bb * qvel[fl_idx])
-        rows_R.append(jnp.broadcast_to((1.0 - dd) / dd, (len(fl_idx),)))
+        rows_R.append((1.0 - dd) / dd * dof_iw[fl_idx])
         rows_active.append(jnp.ones((len(fl_idx),), dtype))
 
     # ---- tendon equality constraints (manipulator hand coupling) -----------
@@ -165,13 +178,17 @@ def assemble(m: M.Model, meta, qpos, qvel, cdof,
                          jnp.asarray(solimp, dtype), length, h)
         vel = Jrow @ qvel
         blocks.append(('equality', n_rows_so_far()))
+        ten_iw = (m.tendon_invweight0[t] if m.tendon_invweight0 is not None
+                  else jnp.ones((), dtype))
         rows_J.append(Jrow)
         rows_aref.append(-bb * vel - kk * length)
-        rows_R.append((1.0 - dd) / dd)
+        rows_R.append((1.0 - dd) / dd * ten_iw)
         rows_active.append(jnp.ones((), dtype))
 
     # ---- spatial tendon length limits (ball_in_cup string) -----------------
-    for (s1, s2, limited, lo, hi) in m.spatial_tendons:
+    for entry in m.spatial_tendons:
+        s1, s2, limited, lo, hi = entry[:5]
+        sten_iw = entry[5] if len(entry) > 5 else 1.0
         if not limited or site_xpos is None:
             continue
         p1, p2 = site_xpos[s1], site_xpos[s2]
@@ -192,7 +209,7 @@ def assemble(m: M.Model, meta, qpos, qvel, cdof,
         blocks.append(('limit', n_rows_so_far()))
         rows_J.append(Jrow)
         rows_aref.append(-bb * vel - kk * jnp.minimum(pos, 0.0))
-        rows_R.append((1.0 - dd) / dd)
+        rows_R.append((1.0 - dd) / dd * jnp.asarray(sten_iw, dtype))
         rows_active.append((pos < 0.0).astype(dtype))
 
     # ---- joint limits (batched over all limited joints) --------------------
@@ -222,54 +239,134 @@ def assemble(m: M.Model, meta, qpos, qvel, cdof,
             blocks.append(('limit', base + i))
         rows_J.append(J_lim)
         rows_aref.append(-b * vel - k * posc)
-        rows_R.append((1.0 - d) / d)    # scaled by diag(A) later
+        rows_R.append((1.0 - d) / d * dof_iw[dadr])
         rows_active.append((pos < 0.0).astype(dtype))
 
     # ---- contacts (batched over all contact points) -------------------------
+    pyramids = []
     if contact is not None and len(contact.geom1):
         C = len(contact.geom1)
         body1 = np.array([m.geom_body[g] for g in contact.geom1])
         body2 = np.array([m.geom_body[g] for g in contact.geom2])
         amask = jnp.asarray(ancestor_dof_mask(m, meta), dtype)
+        dmask = (amask[body2] - amask[body1])[:, :, None]  # (C, nv, 1)
         # translational point jacobian for every contact at once:
         # J[c, k, :] = cdof[k, 3:] + cross(cdof[k, :3], point[c])
         Jt = cdof[None, :, 3:] + jnp.cross(
             jnp.broadcast_to(cdof[None, :, :3], (C, nv, 3)),
             contact.pos[:, None, :])                       # (C, nv, 3)
-        Jp = (Jt * amask[body2][:, :, None]
-              - Jt * amask[body1][:, :, None])             # (C, nv, 3)
-        Jc = jnp.einsum('cij,cvj->civ', contact.frame, Jp)  # (C, 3, nv)
+        Jc = jnp.einsum('cij,cvj->civ', contact.frame,
+                        Jt * dmask)                        # (C, 3, nv)
         pos = jnp.minimum(contact.dist, 0.0)
         k, b, d = kbi(contact.solref.T, contact.solimp.T, pos, h)  # (C,)
         vel = jnp.einsum('civ,v->ci', Jc, qvel)            # (C, 3)
         active = (contact.dist < 0.0).astype(dtype)
-        base = n_rows_so_far()
-        cdim = np.array([max(m.geom_condim[g1], m.geom_condim[g2])
+
+        # pair condim: the higher-priority geom dictates; equal priority
+        # takes the max (mjModel contact-pair semantics)
+        def _pair_condim(g1, g2):
+            p1, p2 = m.geom_priority[g1], m.geom_priority[g2]
+            if p1 > p2:
+                return m.geom_condim[g1]
+            if p2 > p1:
+                return m.geom_condim[g2]
+            return max(m.geom_condim[g1], m.geom_condim[g2])
+
+        cdim = np.array([_pair_condim(g1, g2)
                          for g1, g2 in zip(contact.geom1, contact.geom2)])
-        # condim 1 => frictionless contact (mjModel geom_condim max rule)
-        mu_all = contact.friction[:, 0] * jnp.asarray(cdim >= 3, dtype)
-        for c in range(C):
-            blocks.append(('contact', base + 3 * c))
-        mus.append(mu_all)
-        aref_con = jnp.stack([-b * vel[:, 0] - k * pos,
-                              -b * vel[:, 1],
-                              -b * vel[:, 2]], axis=1)      # (C, 3)
-        rows_J.append(Jc.reshape(3 * C, nv))
-        rows_aref.append(aref_con.reshape(3 * C))
-        rows_R.append(jnp.repeat((1.0 - d) / d, 3))
-        rows_active.append(jnp.repeat(active, 3))
+        # diagApprox reference weight per contact pair
+        iw_pair = body_iw[body1] + body_iw[body2]          # (C,)
+        mu1 = contact.friction[:, 0]
+
+        if m.opt.cone == 'elliptic':
+            base = n_rows_so_far()
+            mu_all = mu1 * jnp.asarray(cdim >= 3, dtype)
+            for c in range(C):
+                blocks.append(('contact', base + 3 * c))
+            mus.append(mu_all)
+            aref_con = jnp.stack([-b * vel[:, 0] - k * pos,
+                                  -b * vel[:, 1],
+                                  -b * vel[:, 2]], axis=1)  # (C, 3)
+            R_n = (1.0 - d) / d * iw_pair
+            R_t = R_n / m.opt.impratio
+            rows_J.append(Jc.reshape(3 * C, nv))
+            rows_aref.append(aref_con.reshape(3 * C))
+            rows_R.append(jnp.stack([R_n, R_t, R_t], axis=1).reshape(-1))
+            rows_active.append(jnp.repeat(active, 3))
+        else:
+            # MuJoCo-default pyramidal cone: per friction direction i the
+            # two facet rows are J_n ± mu_i J_i with f >= 0; all facets of
+            # a contact share R = (1-d)/d * iw_pair * 2 mu1^2 (1+mu1^2)
+            # (probed against mjData.efc_R; engine docs "pyramidal cone").
+            need_rot = bool((cdim > 3).any())
+            if need_rot:
+                Jr = jnp.einsum(
+                    'cij,cvj->civ', contact.frame,
+                    jnp.broadcast_to(cdof[None, :, :3],
+                                     (C, nv, 3)) * dmask)  # (C, 3, nv)
+                vel_r = jnp.einsum('civ,v->ci', Jr, qvel)
+            R_con = ((1.0 - d) / d * iw_pair
+                     * 2.0 * mu1 * mu1 * (1.0 + mu1 * mu1))
+            for grp_dim in sorted(set(cdim.tolist())):
+                idx = np.nonzero(cdim == grp_dim)[0]
+                Jn = Jc[idx, 0]                            # (G, nv)
+                aref_n = -b[idx] * vel[idx, 0] - k[idx] * pos[idx]
+                base = n_rows_so_far()
+                if grp_dim == 1:
+                    # frictionless: a single non-negative normal row
+                    for gi, c in enumerate(idx):
+                        blocks.append(('limit', base + gi))
+                        pyramids.append((int(c), base + gi, 0))
+                    rows_J.append(Jn)
+                    rows_aref.append(aref_n)
+                    rows_R.append((1.0 - d[idx]) / d[idx] * iw_pair[idx])
+                    rows_active.append(active[idx])
+                    mus.append(mu1[idx] * 0)
+                    continue
+                dirs = []                 # (J_dir (G,nv), mu_dir (G,))
+                dirs.append((Jc[idx, 1], mu1[idx]))
+                dirs.append((Jc[idx, 2], mu1[idx]))
+                if grp_dim >= 4:
+                    dirs.append((Jr[idx, 0], contact.friction[idx, 1]))
+                if grp_dim >= 6:
+                    dirs.append((Jr[idx, 1], contact.friction[idx, 2]))
+                    dirs.append((Jr[idx, 2], contact.friction[idx, 2]))
+                ndir = len(dirs)
+                # rows per contact: (d0+, d0-, d1+, d1-, ...) contiguous
+                facet_J = []
+                facet_aref = []
+                for (Jd, mu_d) in dirs:
+                    vd = Jd @ qvel
+                    facet_J.append(Jn + mu_d[:, None] * Jd)
+                    facet_J.append(Jn - mu_d[:, None] * Jd)
+                    facet_aref.append(aref_n - b[idx] * mu_d * vd)
+                    facet_aref.append(aref_n + b[idx] * mu_d * vd)
+                # interleave to per-contact-contiguous layout
+                FJ = jnp.stack(facet_J, axis=1)            # (G, 2ndir, nv)
+                FA = jnp.stack(facet_aref, axis=1)         # (G, 2ndir)
+                G = len(idx)
+                for gi, c in enumerate(idx):
+                    pyramids.append((int(c), base + 2 * ndir * gi, ndir))
+                    for r_ in range(2 * ndir):
+                        blocks.append(('facet',
+                                       base + 2 * ndir * gi + r_))
+                rows_J.append(FJ.reshape(2 * ndir * G, nv))
+                rows_aref.append(FA.reshape(2 * ndir * G))
+                rows_R.append(jnp.repeat(R_con[idx], 2 * ndir))
+                rows_active.append(jnp.repeat(active[idx], 2 * ndir))
+                mus.append(mu1[idx])
 
     if not rows_J:
         return None
 
     J = jnp.concatenate([jnp.atleast_2d(r) for r in rows_J])
     aref = jnp.concatenate([jnp.atleast_1d(r) for r in rows_aref])
-    Rscale = jnp.concatenate([jnp.atleast_1d(r) for r in rows_R])
+    Rrows = jnp.concatenate([jnp.atleast_1d(r) for r in rows_R])
     active = jnp.concatenate([jnp.atleast_1d(r) for r in rows_active])
     mu = (jnp.concatenate([jnp.atleast_1d(x) for x in mus]) if mus
           else jnp.zeros((0,), dtype))
-    return ConstraintSet(J, aref, Rscale, active, blocks, mu,
-                         tuple(friction_bounds))
+    return ConstraintSet(J, aref, Rrows, active, blocks, mu,
+                         tuple(friction_bounds), tuple(pyramids))
 
 
 def solve(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
@@ -282,9 +379,7 @@ def solve(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
 
     MinvJT = jax.scipy.linalg.cho_solve(qM_chol, cs.J.T)   # (nv, nr)
     A = cs.J @ MinvJT                                      # (nr, nr)
-    diagA = jnp.maximum(jnp.diag(A), 1e-10)
-    R = cs.R * diagA
-    Ad = A + jnp.diag(R)
+    Ad = A + jnp.diag(cs.R)
     diag = jnp.maximum(jnp.diag(Ad), 1e-10)
     rhs = (cs.aref - cs.J @ qacc_smooth) * cs.active
 
@@ -302,7 +397,7 @@ def solve(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
 
     def sweep(_, f):
         for kind, i0 in cs.blocks:
-            if kind == 'limit':
+            if kind in ('limit', 'facet'):
                 res = Ad[i0] @ f - rhs[i0]
                 fi = jnp.maximum(0.0, f[i0] - res / diag[i0])
                 f = f.at[i0].set(fi * cs.active[i0])
@@ -343,7 +438,7 @@ def _row_structure(cs: ConstraintSet):
     import numpy as np
     nonneg, box_rows, con0 = [], [], []
     for kind, i0 in cs.blocks:
-        if kind == 'limit':
+        if kind in ('limit', 'facet'):
             nonneg.append(i0)
         elif kind == 'friction':
             box_rows.append(i0)
@@ -374,8 +469,7 @@ def solve_apgd(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
 
     MinvJT = jax.scipy.linalg.cho_solve(qM_chol, cs.J.T)   # (nv, nr)
     A = cs.J @ MinvJT                                      # (nr, nr)
-    diagA = jnp.maximum(jnp.diag(A), 1e-10)
-    Ad = A + jnp.diag(cs.R * diagA)
+    Ad = A + jnp.diag(cs.R)
     rhs = (cs.aref - cs.J @ qacc_smooth) * cs.active
 
     nonneg, box_rows, con0 = _row_structure(cs)
@@ -459,10 +553,28 @@ def solve_apgd(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
 
 def contact_forces(cs: Optional[ConstraintSet], f: Optional[jnp.ndarray],
                    n_contacts: int, dtype) -> jnp.ndarray:
-    """Extract per-contact (normal, t1, t2) forces from the row solution."""
+    """Extract per-contact (normal, t1, t2) forces from the row solution.
+
+    Elliptic rows carry the forces directly; pyramidal contacts
+    reconstruct them from the facets: fn = sum(facets),
+    ft_i = mu_i * (f_i+ - f_i-)  (MuJoCo pyramid decomposition).
+    """
     if cs is None or f is None:
         return jnp.zeros((n_contacts, 3), dtype)
     import numpy as np
+    if cs.pyramids:
+        out = jnp.zeros((n_contacts, 3), dtype)
+        for ci, (c, i0, ndir) in enumerate(cs.pyramids):
+            if ndir == 0:
+                out = out.at[c, 0].set(f[i0])
+                continue
+            facets = f[i0:i0 + 2 * ndir]
+            fn = facets.sum()
+            mu = cs.mu[ci]
+            ft1 = mu * (facets[0] - facets[1])
+            ft2 = mu * (facets[2] - facets[3])
+            out = out.at[c].set(jnp.stack([fn, ft1, ft2]))
+        return out
     i0s = np.array([i0 for kind, i0 in cs.blocks if kind == 'contact'],
                    dtype=np.int64)
     if not len(i0s):

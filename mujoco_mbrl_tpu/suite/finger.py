@@ -25,7 +25,7 @@ _SPIN_VELOCITY = 15.0
 
 _XML = """
 <mujoco model='finger'>
-  <option timestep='0.01'>
+  <option timestep='0.01' cone='elliptic' iterations='200'>
     <flag gravity='disable'/>
   </option>
   <default>
@@ -39,6 +39,8 @@ _XML = """
   <worldbody>
     <geom name='ground' type='plane' pos='0 0 0' size='.6 .2 10'/>
     <body name='proximal' pos='-.2 0 .4' childclass='finger'>
+      <geom name='proximal_decoration' type='cylinder'
+            fromto='0 -.033 0 0 .033 0' size='.034'/>
       <joint name='proximal' range='-110 110' ref='-90'/>
       <geom name='proximal' type='capsule' size='.03'
             fromto='0 0 0 0 0 -.17'/>
@@ -57,6 +59,8 @@ _XML = """
       <geom name='cap1' type='capsule' size='.04 .09' pos='.02 0 0'/>
       <geom name='cap2' type='capsule' size='.04 .09' pos='-.02 0 0'/>
       <site name='tip' pos='0 0 .13'/>
+      <geom name='spinner_decoration' type='cylinder'
+            fromto='0 -.045 0 0 .045 0' size='.02'/>
     </body>
     <site name='target' pos='0 0 .4'/>
   </worldbody>

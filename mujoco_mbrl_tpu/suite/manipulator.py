@@ -60,6 +60,9 @@ _PEG = """
     <body name='target_peg' pos='-.2 .001 .4' childclass='ghost'>
       <geom name='target_blade' type='capsule' size='.005'
             fromto='0 0 -.013 0 0 -.113'/>
+      <geom name='target_guard' type='capsule' size='.005'
+            fromto='-.017 0 -.043 .017 0 -.043'/>
+      <geom name='target_pommel' type='sphere' size='.009' pos='0 0 -.013'/>
       <site name='target_peg' type='box' pos='0 0 -.063'/>
       <site name='target_peg_pinch' type='box' pos='0 0 -.025'/>
       <site name='target_peg_grasp' type='box' pos='0 0 0'/>
@@ -93,9 +96,10 @@ _CUP = """
 
 
 def _make_model_xml(use_peg: bool = False, insert: bool = False,
-                    props: str = None) -> str:
+                    props: str = None, geom_solref: str = '.005 1') -> str:
     """Arena + arm + hand model; `props` overrides the prop bodies so the
-    stacker domain (same arm, boxes for props) shares this template."""
+    stacker domain (same arm, boxes for props, default geom solref .01 per
+    stacker.xml:19) shares this template."""
     if props is None:
         props = _PEG if use_peg else _BALL
         if insert:
@@ -104,16 +108,21 @@ def _make_model_xml(use_peg: bool = False, insert: bool = False,
 <mujoco model='planar manipulator'>
   <option timestep='0.001'/>
   <default>
-    <geom friction='.7' solimp='0.9 0.97 0.001' solref='.005 1'/>
+    <geom friction='.7' solimp='0.9 0.97 0.001' solref='{geom_solref}'/>
     <joint solimplimit='0 0.99 0.01' solreflimit='.005 1'/>
+    <site size='.003 .003 .003'/>
     <default class='arm'>
+      <geom type='capsule' density='500'/>
       <joint type='hinge' pos='0 0 0' axis='0 -1 0' limited='true'/>
       <default class='hand'>
         <joint damping='.5' range='-10 60'/>
         <geom size='.008'/>
+        <site type='box' size='.018 .005 .005' pos='.022 0 -.002'
+              euler='0 15 0'/>
         <default class='fingertip'>
           <geom type='sphere' size='.008'/>
           <joint damping='.01' stiffness='.01' range='-40 20'/>
+          <site size='.012 .005 .008' pos='.003 0 .003' euler='0 0 0'/>
         </default>
       </default>
     </default>
@@ -176,7 +185,8 @@ def _make_model_xml(use_peg: bool = False, insert: bool = False,
                 <site name='fingertip_touch'/>
               </body>
             </body>
-            <site name='palm_touch' type='box' pos='0 0 .043'/>
+            <site name='palm_touch' type='box' size='.025 .005 .008'
+                  pos='0 0 .043'/>
           </body>
         </body>
       </body>

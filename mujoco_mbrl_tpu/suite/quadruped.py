@@ -1,10 +1,11 @@
-"""Quadruped domain: walk / run / fetch.
+"""Quadruped domain: walk / run / escape / fetch.
 
 Task contract from the reference (``dm_control/dm_control/suite/
 quadruped.py``); model constants transcribed from its ``quadruped.xml``
 (walls/ball/target/terrain/rangefinders pruned exactly like the
-reference's ``make_model`` does per task). The `escape` task needs
-heightfield terrain, which this engine does not model — documented gap.
+reference's ``make_model`` does per task). The `escape` task runs on
+procedurally-bumpy heightfield terrain with rangefinder observations
+(see :class:`Escape` below and ``physics/collision.py`` hfield kernels).
 
 Engine features this domain exercises: filtered (stateful) actuators
 (dyntype='filter', State.act), fixed-tendon transmissions and tendon
@@ -90,18 +91,24 @@ def _make_xml(floor_size: float, walls_and_ball: bool = False,
         asset = ("<asset><hfield name='terrain' nrow='201' ncol='201' "
                  "size='30 30 5 .1'/></asset>")
         extras += "\n    <geom name='terrain' type='hfield' pos='0 0 -.01'/>"
+    extras_post = ''
     if walls_and_ball:
+        # Wall positions/sizes are the quadruped.xml:78-81 literals (floor
+        # size 15); the ball body comes AFTER the torso, matching the XML
+        # body order (quadruped.xml:199) so the free-joint qpos layout is
+        # [torso root, legs..., ball_root].
         fs = floor_size
         extras = f"""
     <geom name='wall_px' type='plane' pos='-{fs + .7} 0 .7'
-          zaxis='1 0 1' size='1 {fs} .5' condim='1'/>
+          zaxis='1 0 1' size='1 {fs} .5'/>
     <geom name='wall_py' type='plane' pos='0 -{fs + .7} .7'
-          zaxis='0 1 1' size='{fs} 1 .5' condim='1'/>
+          zaxis='0 1 1' size='{fs} 1 .5'/>
     <geom name='wall_nx' type='plane' pos='{fs + .7} 0 .7'
-          zaxis='-1 0 1' size='1 {fs} .5' condim='1'/>
+          zaxis='-1 0 1' size='1 {fs} .5'/>
     <geom name='wall_ny' type='plane' pos='0 {fs + .7} .7'
-          zaxis='0 -1 1' size='{fs} 1 .5' condim='1'/>
-    <site name='target' type='cylinder' size='.4 .06' pos='0 0 .05'/>
+          zaxis='0 -1 1' size='{fs} 1 .5'/>
+    <site name='target' type='cylinder' size='.4 .06' pos='0 0 .05'/>"""
+        extras_post = """
     <body name='ball' pos='0 0 3'>
       <freejoint name='ball_root'/>
       <geom name='ball' type='sphere' size='.15' priority='1' condim='6'
@@ -167,6 +174,7 @@ def _make_xml(floor_size: float, walls_and_ball: bool = False,
       <site name='torso' type='sphere' size='.05'/>
       {legs}
     </body>
+    {extras_post}
   </worldbody>
   <tendon>{tendons}
   </tendon>
@@ -466,8 +474,10 @@ def escape(time_limit=_DEFAULT_TIME_LIMIT, environment_kwargs=None):
 
 @SUITE.add()
 def fetch(time_limit=_DEFAULT_TIME_LIMIT, environment_kwargs=None):
-    # ball-quadruped interaction needs geom-geom (non-plane) contacts
-    xml = _make_xml(floor_size=_DEFAULT_TIME_LIMIT * _WALK_SPEED,
-                    walls_and_ball=True)
-    return _env(Fetch(floor_size=_DEFAULT_TIME_LIMIT * _WALK_SPEED), xml,
+    # ball-quadruped interaction needs geom-geom (non-plane) contacts.
+    # Fetch keeps the quadruped.xml default floor size of 15 (the reference
+    # calls make_model(walls_and_ball=True) with floor_size=None,
+    # quadruped.py:141).
+    xml = _make_xml(floor_size=15, walls_and_ball=True)
+    return _env(Fetch(floor_size=15), xml,
                 time_limit, environment_kwargs, geom_geom=True)

@@ -180,7 +180,8 @@ class Stack(base.Task):
 
 
 def _env(n_boxes, fully_observable, time_limit, environment_kwargs):
-    model = mjcf.parse(_make_model_xml(props=_props_xml(n_boxes)))
+    model = mjcf.parse(_make_model_xml(props=_props_xml(n_boxes),
+                                       geom_solref='.01 1'))
     model = model.replace(opt=model.opt.replace(
         enable_geom_geom_contacts=True))
     task = Stack(n_boxes=n_boxes, fully_observable=fully_observable)
