@@ -331,9 +331,17 @@ class GoalStateAgent(MPCAgent):
         self._jit_policy_collect_n = {}
 
     # -- policy construction (pure, closed over nothing traced) ---------
+    def _plan_model_fn(self, params, norms):
+        """Model fn the planner rolls candidates through. Ensembles use
+        TS-infinity member propagation (candidate k -> member k % n)
+        instead of the mean — BASELINE.md's walker-walk ensemble config."""
+        if isinstance(self.model, Mo.EnsembleDynamics):
+            return lambda s, a: self.model.forward_ts(params, s, a, norms)
+        return lambda s, a: self.model.forward(params, s, a, norms)
+
     def _make_policy(self, params, norms, goal_state):
         env = self.environment
-        model_fn = lambda s, a: self.model.forward(params, s, a, norms)
+        model_fn = self._plan_model_fn(params, norms)
 
         def cost(states, actions):
             sc = Mo.smooth_abs_loss(states, goal_state,
@@ -354,7 +362,7 @@ class GoalStateAgent(MPCAgent):
         MLPDynamics + smooth-abs/cosh — the GoalStateAgent default)."""
         from .. import ops
         env = self.environment
-        model_fn = lambda s, a: self.model.forward(params, s, a, norms)
+        model_fn = self._plan_model_fn(params, norms)
 
         def cost(states, actions):
             return (Mo.smooth_abs_loss(states, goal_state,
@@ -378,21 +386,55 @@ class GoalStateAgent(MPCAgent):
 
     def _sample_costs_builder(self, params, norms):
         """On TPU, the fully-fused sampling kernel (in-kernel PRNG has no
-        CPU lowering); returns a builder bound per planner call."""
+        CPU lowering); returns a builder bound per planner call.
+
+        Ensembles keep the fused path: one kernel call per member over a
+        K/n candidate slice, results interleaved along K so candidate k
+        belongs to member k % n — the same TS-infinity assignment
+        `forward_ts` uses on the XLA path."""
         from .. import ops
         from ..ops.cem_rollout import _supports_pallas
+        is_ens = (isinstance(self.model, Mo.EnsembleDynamics)
+                  and type(self.model.base) is Mo.MLPDynamics)
         if not (_supports_pallas()
-                and type(self.model) is Mo.MLPDynamics
+                and (is_ens or type(self.model) is Mo.MLPDynamics)
                 and self.model.noise is None):
+            return None
+        K = {**P.CEMPlanner.defaults,
+             **self.planner_kwargs}['num_candidates']
+
+        if not is_ens:
+            def build(obs_mat, goal_state):
+                return lambda seed, mean, std: ops.mlp_sample_rollout_costs(
+                    params, seed, obs_mat, mean, std, goal_state,
+                    self.state_cost_weights, normalizers=norms,
+                    alpha_action=self.action_cost_alpha,
+                    num_candidates=K)
+            return build
+
+        n = self.model.n
+        if K % n:
             return None
 
         def build(obs_mat, goal_state):
-            return lambda seed, mean, std: ops.mlp_sample_rollout_costs(
-                params, seed, obs_mat, mean, std, goal_state,
-                self.state_cost_weights, normalizers=norms,
-                alpha_action=self.action_cost_alpha,
-                num_candidates={**P.CEMPlanner.defaults,
-                                **self.planner_kwargs}['num_candidates'])
+            def sample_costs(seed, mean, std):
+                costs_m, actions_m = [], []
+                for mi in range(n):
+                    p_m = jax.tree_util.tree_map(lambda v: v[mi], params)
+                    c, a = ops.mlp_sample_rollout_costs(
+                        p_m, seed * n + mi, obs_mat, mean, std, goal_state,
+                        self.state_cost_weights, normalizers=norms,
+                        alpha_action=self.action_cost_alpha,
+                        num_candidates=K // n)
+                    costs_m.append(c)       # (B, K/n)
+                    actions_m.append(a)     # (B, H, ad, K/n)
+                # interleave members on the candidate axis: k = q*n + mi
+                costs = jnp.stack(costs_m, axis=-1).reshape(
+                    *costs_m[0].shape[:-1], K)
+                actions = jnp.stack(actions_m, axis=-1).reshape(
+                    *actions_m[0].shape[:-1], K)
+                return costs, actions
+            return sample_costs
         return build
 
     def _policy_collect(self, n):

@@ -202,8 +202,17 @@ class RewardDynamics:
 class EnsembleDynamics:
     """N-member ensemble of any base dynamics family via a vmap axis.
 
-    Prediction uses the ensemble mean by default; `forward_all` exposes
-    per-member predictions for trajectory-sampling planners (TS-inf style).
+    * Training: each member fits a BOOTSTRAP resample of every minibatch
+      (indices drawn with replacement per member, PETS-style) when `loss`
+      is given a key; identical batches otherwise.
+    * Planning: `forward_ts` does TS-infinity trajectory-sampling
+      propagation — candidate row k is predicted by member k % n for the
+      whole horizon, so the candidate population explores the ensemble's
+      epistemic spread instead of collapsing to the mean. The strided
+      assignment is the same one the fused-kernel path uses
+      (agents.mpc._sample_costs_builder interleaves per-member kernel
+      slices), so both paths plan through identical dynamics.
+    * `forward` (mean) stays the default for single-state prediction.
     """
 
     def __init__(self, base: MLPDynamics, n_ensemble: int = 5):
@@ -211,6 +220,7 @@ class EnsembleDynamics:
         self.n = n_ensemble
         self.state_dim = base.state_dim
         self.action_dim = base.action_dim
+        self.noise = base.noise
 
     def init(self, key: jax.Array):
         return jax.vmap(self.base.init)(jax.random.split(key, self.n))
@@ -227,8 +237,41 @@ class EnsembleDynamics:
                 key: Optional[jax.Array] = None):
         return self.forward_all(params, state, action, normalizers).mean(0)
 
-    def loss(self, params, batch, normalizers: Optional[Normalizers] = None):
-        # each member trains on the same batch (bootstrap variants later)
-        losses = jax.vmap(
-            lambda p: self.base.loss(p, batch, normalizers))(params)
+    def forward_ts(self, params, state, action,
+                   normalizers: Optional[Normalizers] = None,
+                   key: Optional[jax.Array] = None):
+        """TS-infinity member propagation for a candidate batch.
+
+        state/action: (N, dim) with N divisible by n; row k -> member
+        k % n. Striding (not contiguous blocks) keeps the mapping
+        identical whether rows are (K,) for one env or (B*K,) b-major
+        for the batched planner (K % n == 0 makes b*K + k = k mod n).
+        Falls back to the ensemble mean if N is not divisible.
+        """
+        N = state.shape[0]
+        if N % self.n:
+            return self.forward(params, state, action, normalizers)
+        sg = state.reshape(N // self.n, self.n, -1).transpose(1, 0, 2)
+        ag = action.reshape(N // self.n, self.n, -1).transpose(1, 0, 2)
+        out = jax.vmap(
+            lambda p, s, a: self.base.forward(p, s, a, normalizers))(
+                params, sg, ag)                       # (n, N/n, sd)
+        return out.transpose(1, 0, 2).reshape(N, -1)
+
+    def loss(self, params, batch, normalizers: Optional[Normalizers] = None,
+             key: Optional[jax.Array] = None):
+        if key is None:
+            losses = jax.vmap(
+                lambda p: self.base.loss(p, batch, normalizers))(params)
+            return losses.sum()
+
+        B = batch['states'].shape[0]
+
+        def member_loss(p, k):
+            idx = jax.random.randint(k, (B,), 0, B)
+            boot = jax.tree_util.tree_map(lambda v: v[idx], batch)
+            return self.base.loss(p, boot, normalizers)
+
+        losses = jax.vmap(member_loss)(params,
+                                       jax.random.split(key, self.n))
         return losses.sum()

@@ -27,8 +27,13 @@ class TrainLog(NamedTuple):
     final_loss: jnp.ndarray
 
 
-def _model_loss(model, params, batch, normalizers):
-    out = model.loss(params, batch, normalizers)
+def _model_loss(model, params, batch, normalizers, key=None):
+    import inspect
+    if key is not None and 'key' in inspect.signature(
+            model.loss).parameters:
+        out = model.loss(params, batch, normalizers, key=key)
+    else:
+        out = model.loss(params, batch, normalizers)
     if isinstance(out, tuple):
         return out[0]
     return out
@@ -83,21 +88,26 @@ def train_model(model, params, buf: R.ReplayBuffer, key: jax.Array,
 
     def epoch(carry, ekey):
         params, opt_state = carry
-        roll_idx, start = R.epoch_batches(buf, ekey, batch_size, horizon)
+        sample_key, boot_key = jax.random.split(ekey)
+        roll_idx, start = R.epoch_batches(buf, sample_key, batch_size,
+                                          horizon)
+        # per-minibatch keys for ensemble bootstrap resampling
+        bkeys = jax.random.split(boot_key, roll_idx.shape[0])
 
         def minibatch(carry, idx):
             params, opt_state = carry
-            ri, st = idx
+            ri, st, bk = idx
             win = R.gather_windows(buf, ri, st, horizon)
             batch = _batch_from_windows(win, obs_only)
             loss, grads = jax.value_and_grad(
-                lambda p: _model_loss(model, p, batch, normalizers))(params)
+                lambda p: _model_loss(model, p, batch, normalizers,
+                                      key=bk))(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
 
         (params, opt_state), losses = jax.lax.scan(
-            minibatch, (params, opt_state), (roll_idx, start))
+            minibatch, (params, opt_state), (roll_idx, start, bkeys))
         return (params, opt_state), losses
 
     ekeys = jax.random.split(key, num_epochs)
