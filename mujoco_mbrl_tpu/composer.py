@@ -33,12 +33,28 @@ from .suite import base as suite_base
 from .suite import control
 
 
-def observable(fn: Callable) -> Callable:
+def observable(fn: Callable = None, **options) -> Callable:
     """Mark an Entity/Task method as a named observable
     (composer/define.py:59's `observable` decorator role). The method
-    receives (model, phys, data) and returns an array."""
-    fn._is_observable = True
-    return fn
+    receives (model, phys, data) and returns an array.
+
+    Optional pipeline options (update_interval, buffer_size, delay,
+    aggregator, corruptor, enabled) configure the observation pipeline
+    (observation.ObservableSpec; the updater.py:90 machinery) — e.g.::
+
+        @observable(buffer_size=4, aggregator='mean',
+                    corruptor=variation.Additive(variation.Normal(0, .01)))
+        def tip_position(self, model, phys, data): ...
+    """
+    def mark(f):
+        f._is_observable = True
+        if options:
+            from .observation import ObservableSpec
+            f._observable_spec = ObservableSpec(**options)
+        return f
+    if fn is not None:
+        return mark(fn)
+    return mark
 
 
 def _collect_observables(obj) -> Dict[str, Callable]:
@@ -47,6 +63,16 @@ def _collect_observables(obj) -> Dict[str, Callable]:
         fn = getattr(type(obj), name, None)
         if callable(fn) and getattr(fn, '_is_observable', False):
             out[name] = getattr(obj, name)
+    return out
+
+
+def _collect_observable_specs(obj) -> Dict[str, Any]:
+    out = {}
+    for name in dir(type(obj)):
+        fn = getattr(type(obj), name, None)
+        spec = getattr(fn, '_observable_spec', None)
+        if spec is not None:
+            out[name] = spec
     return out
 
 
@@ -140,6 +166,15 @@ class Task:
         out.update(_collect_observables(self))
         return out
 
+    def observable_specs(self) -> Dict[str, Any]:
+        """Pipeline options per observable name (entities' prefixed)."""
+        out = {}
+        for e in self._entities:
+            for name, spec in _collect_observable_specs(e).items():
+                out[(e.prefix + name) if e.prefix else name] = spec
+        out.update(_collect_observable_specs(self))
+        return out
+
     def get_reward(self, model, phys, data, ctrl):
         raise NotImplementedError
 
@@ -178,6 +213,11 @@ def make_env(task: Task, time_limit: float = float('inf'),
     if task.control_timestep is not None:
         environment_kwargs.setdefault('control_timestep',
                                       task.control_timestep)
-    return control.Environment(model, _TaskAdapter(task),
-                               time_limit=time_limit,
-                               **environment_kwargs)
+    env = control.Environment(model, _TaskAdapter(task),
+                              time_limit=time_limit,
+                              **environment_kwargs)
+    specs = task.observable_specs()
+    if specs:
+        from .observation import BufferedEnvironment
+        env = BufferedEnvironment(env, specs)
+    return env
