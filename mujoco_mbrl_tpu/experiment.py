@@ -48,6 +48,7 @@ class Model(Enum):
     Linear = 'lin'
     ModelWithReward = 'rw'
     Ensemble = 'ens'
+    RNN = 'rnn'
 
     def __str__(self):
         return self.value
@@ -65,6 +66,8 @@ class Model(Enum):
         if self is Model.Ensemble:
             return models.EnsembleDynamics(
                 models.MLPDynamics(od, ad), n_ensemble=5)
+        if self is Model.RNN:
+            return models.RNNDynamics(od, ad)
 
 
 class Optimizer(Enum):
@@ -121,7 +124,7 @@ CONFIG_DEF = (
     ('--agent', Agent, Agent.GoalStateAgent, 'gs | rw'),
     ('--environment', Environment, None, 'e.g. reacher_easy'),
     ('--planner', Planner, Planner.RandomShooting, 'rs | grad | cem'),
-    ('--model', Model, Model.NeuralNet, 'nn | lin | rw | ens'),
+    ('--model', Model, Model.NeuralNet, 'nn | lin | rw | ens | rnn'),
     ('--optimizer', Optimizer, Optimizer.Adam, 'adam | sgd'),
     ('--horizon', int, 20, 'planning horizon'),
     ('--rollout_length', int, 200, 'env steps per rollout'),

@@ -6,7 +6,7 @@ functions, training steps are optax+jit, ensembles are a vmap axis.
 """
 
 from .dynamics import (MLPDynamics, LinearDynamics, RewardDynamics,
-                       EnsembleDynamics, Normalizers)
+                       EnsembleDynamics, RNNDynamics, Normalizers)
 from .train import train_model, evaluate_model, TrainLog
 from .costs import (smooth_abs_loss, cosh_loss, quadratic_cost,
                     CostModel, SmoothAbsLoss, CoshLoss, QuadraticCost,
@@ -14,6 +14,7 @@ from .costs import (smooth_abs_loss, cosh_loss, quadratic_cost,
 
 __all__ = [
     'MLPDynamics', 'LinearDynamics', 'RewardDynamics', 'EnsembleDynamics',
+    'RNNDynamics',
     'Normalizers', 'train_model', 'evaluate_model', 'TrainLog',
     'smooth_abs_loss', 'cosh_loss', 'quadratic_cost', 'CostModel',
     'SmoothAbsLoss', 'CoshLoss', 'QuadraticCost', 'state_action_cost',

@@ -199,6 +199,120 @@ class RewardDynamics:
         return s_loss + r_loss, {'state_loss': s_loss, 'reward_loss': r_loss}
 
 
+class RNNDynamics:
+    """GRU sequence dynamics: s' = f(h', [s; a]), h' = GRU(h, [s; a]).
+
+    The reference sketched (but never shipped) an RNN dynamics model —
+    ``src/mbrl/agents_old.py:36-37,191-237`` references an undefined
+    ``RNNModel`` with a `train_rnn` loop over rollout sequences. This is
+    that capability, TPU-first: the recurrence is a `lax.scan` over the
+    window axis, so multistep training (`loss` on (B, h, dim) windows,
+    teacher-forced inputs, open-loop hidden state) and open-loop H-step
+    rollout (`rollout`) are single fused programs.
+
+    Planner integration: `model_fn_with_memory(params, h0)` returns a
+    stateless-looking (s, a) -> s' closure that carries the hidden state
+    in a closed-over ref is NOT jit-safe, so instead `rollout` is the
+    planner surface: GradientDescentPlanner/CEM variants that roll whole
+    action sequences can call it directly.
+    """
+
+    def __init__(self, state_dim: int, action_dim: int,
+                 hidden_units: int = 64, dtype=jnp.float32):
+        self.state_dim = state_dim
+        self.action_dim = action_dim
+        self.hidden_units = hidden_units
+        self.noise = None
+        self.dtype = dtype
+
+    def init(self, key: jax.Array) -> Dict[str, Any]:
+        ks = jax.random.split(key, 5)
+        nin = self.state_dim + self.action_dim
+        h = self.hidden_units
+        return {
+            'gru_rz': _dense_init(ks[0], nin + h, 2 * h, self.dtype),
+            'gru_n': _dense_init(ks[1], nin + h, h, self.dtype),
+            'head1': _dense_init(ks[2], h + nin, h, self.dtype),
+            'head2': _dense_init(ks[3], h, self.state_dim, self.dtype),
+        }
+
+    def init_hidden(self, batch_shape=()) -> jnp.ndarray:
+        return jnp.zeros(tuple(batch_shape) + (self.hidden_units,),
+                         self.dtype)
+
+    def _cell(self, params, h, x):
+        xh = jnp.concatenate([x, h], axis=-1)
+        rz = jax.nn.sigmoid(_dense(params['gru_rz'], xh))
+        r, z = jnp.split(rz, 2, axis=-1)
+        n = jnp.tanh(_dense(params['gru_n'],
+                            jnp.concatenate([x, r * h], axis=-1)))
+        h_new = (1.0 - z) * n + z * h
+        return h_new
+
+    def forward(self, params, state, action, hidden,
+                normalizers: Optional[Normalizers] = None):
+        """One transition: returns (next_state, next_hidden)."""
+        n = normalizers or Normalizers()
+        x = jnp.concatenate([n.norm_state(state), n.norm_action(action)],
+                            axis=-1)
+        h_new = self._cell(params, hidden, x)
+        y = jax.nn.relu(_dense(params['head1'],
+                               jnp.concatenate([h_new, x], axis=-1)))
+        delta = _dense(params['head2'], y)
+        return n.unnorm_state(n.norm_state(state) + delta), h_new
+
+    def rollout(self, params, state0, actions,
+                normalizers: Optional[Normalizers] = None,
+                hidden0: Optional[jnp.ndarray] = None):
+        """Open-loop rollout: actions (H, ..., ad) -> states (H, ..., sd).
+
+        The model consumes its OWN predictions (agents_old.py
+        test_H_step_pred semantics)."""
+        if hidden0 is None:
+            hidden0 = self.init_hidden(state0.shape[:-1])
+
+        def step(carry, a):
+            s, h = carry
+            s2, h2 = self.forward(params, s, a, h, normalizers)
+            return (s2, h2), s2
+
+        _, states = jax.lax.scan(step, (state0, hidden0), actions)
+        return states
+
+    def loss(self, params, batch, normalizers: Optional[Normalizers] = None):
+        """Teacher-forced multistep MSE over (B, h, dim) windows.
+
+        Inputs are the TRUE states (teacher forcing, the reference's
+        multistep_train feeds dataset transitions) while the hidden state
+        runs open-loop across the window — the sequence-model analogue of
+        MLPDynamics.loss."""
+        n = normalizers or Normalizers()
+        s = batch['states']          # (B, h, sd)
+        a = batch['actions']
+        target = n.norm_state(batch['next_states'])
+        if s.ndim == 2:              # single-step batches: add window axis
+            s, a = s[:, None], a[:, None]
+            target = target[:, None]
+        B = s.shape[0]
+        h0 = self.init_hidden((B,))
+
+        def step(h, xs):
+            st, at = xs
+            x = jnp.concatenate([n.norm_state(st), n.norm_action(at)],
+                                axis=-1)
+            h2 = self._cell(params, h, x)
+            y = jax.nn.relu(_dense(params['head1'],
+                                   jnp.concatenate([h2, x], axis=-1)))
+            pred = n.norm_state(st) + _dense(params['head2'], y)
+            return h2, pred
+
+        _, preds = jax.lax.scan(step, h0,
+                                (s.swapaxes(0, 1), a.swapaxes(0, 1)))
+        preds = preds.swapaxes(0, 1)          # (B, h, sd)
+        per_step = jnp.mean((preds - target) ** 2, axis=(0, 2))
+        return per_step.sum()
+
+
 class EnsembleDynamics:
     """N-member ensemble of any base dynamics family via a vmap axis.
 
