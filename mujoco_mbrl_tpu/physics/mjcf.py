@@ -72,6 +72,38 @@ def _nquat_to_mat(q):
     ])
 
 
+def _mat_to_nquat(R):
+    """Rotation matrix -> unit quaternion (w, x, y, z)."""
+    R = np.asarray(R, dtype=np.float64)
+    tr = np.trace(R)
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        w = 0.25 * s
+        x = (R[2, 1] - R[1, 2]) / s
+        y = (R[0, 2] - R[2, 0]) / s
+        z = (R[1, 0] - R[0, 1]) / s
+    elif R[0, 0] > R[1, 1] and R[0, 0] > R[2, 2]:
+        s = np.sqrt(1.0 + R[0, 0] - R[1, 1] - R[2, 2]) * 2
+        w = (R[2, 1] - R[1, 2]) / s
+        x = 0.25 * s
+        y = (R[0, 1] + R[1, 0]) / s
+        z = (R[0, 2] + R[2, 0]) / s
+    elif R[1, 1] > R[2, 2]:
+        s = np.sqrt(1.0 + R[1, 1] - R[0, 0] - R[2, 2]) * 2
+        w = (R[0, 2] - R[2, 0]) / s
+        x = (R[0, 1] + R[1, 0]) / s
+        y = 0.25 * s
+        z = (R[1, 2] + R[2, 1]) / s
+    else:
+        s = np.sqrt(1.0 + R[2, 2] - R[0, 0] - R[1, 1]) * 2
+        w = (R[1, 0] - R[0, 1]) / s
+        x = (R[0, 2] + R[2, 0]) / s
+        y = (R[1, 2] + R[2, 1]) / s
+        z = 0.25 * s
+    q = np.array([w, x, y, z])
+    return q / np.linalg.norm(q)
+
+
 def _zaxis_quat(z):
     """Minimal rotation taking (0,0,1) to direction z."""
     z = np.asarray(z, dtype=np.float64)
@@ -167,6 +199,10 @@ class _Builder:
         self.geom_names = {}
         self.sites = []
         self.site_names = {}
+        # cameras (engine.py:515-760 Camera poses; rendered by
+        # utils.render ray casting rather than GL)
+        self.cameras = []
+        self.camera_names = {}
 
     # -- angles ----------------------------------------------------------
     def angle(self, a: float) -> float:
@@ -176,6 +212,13 @@ class _Builder:
         if 'quat' in attrs:
             q = _floats(attrs['quat'])
             return q / np.linalg.norm(q)
+        if 'xyaxes' in attrs:
+            v = _floats(attrs['xyaxes'])
+            x = v[:3] / np.linalg.norm(v[:3])
+            y = v[3:] - (v[3:] @ x) * x
+            y = y / np.linalg.norm(y)
+            z = np.cross(x, y)
+            return _mat_to_nquat(np.stack([x, y, z], axis=1))
         if 'euler' in attrs:
             e = [self.angle(a) for a in _floats(attrs['euler'])]
             q = np.array([1.0, 0, 0, 0])
@@ -466,9 +509,22 @@ def parse(xml_string: str, dtype=np.float32) -> M.Model:
                 b.body_inertia_at_origin[body_id] = (
                     inert + mass * (cx @ cx.T))
                 b.body_explicit_inertial[body_id] = True
+            elif tag == 'camera':
+                add_camera(cattrs, body_id)
             elif tag == 'body':
                 walk_body(child, body_id, cls)
-            # camera/light/etc.: visual-only, skipped.
+            # light/etc.: visual-only, skipped.
+
+    def add_camera(attrs: Dict[str, str], body_id: int):
+        name = attrs.get('name')
+        if name:
+            b.camera_names[name] = len(b.cameras)
+        b.cameras.append(dict(
+            body=body_id,
+            pos=_floats(attrs['pos']) if 'pos' in attrs else np.zeros(3),
+            quat=b.orientation(attrs),
+            fovy=float(attrs.get('fovy', 45.0)),
+            mode=attrs.get('mode', 'fixed')))
 
     worldbody = root.find('worldbody')
     if worldbody is not None:
@@ -482,6 +538,8 @@ def parse(xml_string: str, dtype=np.float32) -> M.Model:
                 add_geom(cattrs, 0)
             elif tag == 'site':
                 add_site(cattrs, 0)
+            elif tag == 'camera':
+                add_camera(cattrs, 0)
 
     nbody = len(b.body_parent)
     njnt = len(b.jnt)
@@ -738,7 +796,8 @@ def parse(xml_string: str, dtype=np.float32) -> M.Model:
 
     names = {'body': b.body_names, 'joint': b.jnt_names,
              'geom': b.geom_names, 'site': b.site_names,
-             'actuator': act_names, 'tendon': tendon_names}
+             'actuator': act_names, 'tendon': tendon_names,
+             'camera': b.camera_names}
 
     model = M.Model(
         opt=M.Option(
@@ -816,6 +875,12 @@ def parse(xml_string: str, dtype=np.float32) -> M.Model:
         actuator_actadr=tuple(actadr),
         actuator_dynprm=arr([a['dynprm'] for a in acts], shape=(0, 3)),
         contact_excludes=contact_excludes,
+        ncam=len(b.cameras),
+        cam_body=tuple(c['body'] for c in b.cameras),
+        cam_mode=tuple(c['mode'] for c in b.cameras),
+        cam_fovy=tuple(c['fovy'] for c in b.cameras),
+        cam_pos=arr([c['pos'] for c in b.cameras], (len(b.cameras), 3)),
+        cam_quat=arr([c['quat'] for c in b.cameras], (len(b.cameras), 4)),
         hfield_nrow=hfield_nrow, hfield_ncol=hfield_ncol,
         hfield_data=(jnp.zeros((hfield_nrow, hfield_ncol), dtype)
                      if hfield_nrow else None),

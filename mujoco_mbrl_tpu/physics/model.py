@@ -206,6 +206,15 @@ class Model:
     contact_excludes: Tuple[Tuple[int, int], ...] = struct.field(
         pytree_node=False, default=())
 
+    # --- cameras (visual only; consumed by utils.render ray casting) -----
+    ncam: int = struct.field(pytree_node=False, default=0)
+    cam_body: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    cam_mode: Tuple[str, ...] = struct.field(pytree_node=False, default=())
+    cam_fovy: Tuple[float, ...] = struct.field(pytree_node=False,
+                                               default=())
+    cam_pos: Optional[jnp.ndarray] = None    # (ncam, 3) in body frame
+    cam_quat: Optional[jnp.ndarray] = None   # (ncam, 4)
+
     # --- constraint-regularization reference weights (mj_setConst) -------
     # Inverse-weight constants computed once at qpos0; MuJoCo bases every
     # constraint row's regularizer R = (1-d)/d * diagApprox on these

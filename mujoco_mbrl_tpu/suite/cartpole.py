@@ -37,6 +37,7 @@ def _make_model_xml(n_poles: int = 1) -> str:
     <flag contact='disable'/>
   </option>
   <worldbody>
+    <camera name='fixed' pos='0 -4 1' zaxis='0 -1 0'/>
     <body name='cart' pos='0 0 1'>
       <joint name='slider' type='slide' limited='true' axis='1 0 0'
              range='-1.8 1.8' solreflimit='.08 1' damping='5e-4'/>

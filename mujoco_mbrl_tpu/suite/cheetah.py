@@ -38,6 +38,8 @@ _XML = """
     <geom name='ground' type='plane' conaffinity='1' pos='98 0 0'
           size='100 .8 .5'/>
     <body name='torso' pos='0 0 .7' childclass='cheetah'>
+      <camera name='side' pos='0 -3 0' quat='0.707 0.707 0 0' mode='trackcom'/>
+      <camera name='back' pos='-1.8 -1.3 0.8' xyaxes='0.45 -0.9 0 0.3 0.15 0.94' mode='trackcom'/>
       <joint name='rootx' type='slide' axis='1 0 0' class='free'/>
       <joint name='rootz' type='slide' axis='0 0 1' class='free'/>
       <joint name='rooty' type='hinge' axis='0 1 0' class='free'/>

@@ -36,6 +36,7 @@ _XML = """
     <motor ctrlrange='-1 1' ctrllimited='true'/>
   </default>
   <worldbody>
+    <camera name='cam0' pos='0 -2.8 0.8' euler='90 0 0' mode='trackcom'/>
     <geom name='floor' type='plane' conaffinity='1' pos='48 0 0'
           size='50 1 .2'/>
     <body name='torso' pos='0 0 1' childclass='hopper'>

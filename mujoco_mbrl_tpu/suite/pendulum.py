@@ -26,6 +26,7 @@ _XML = """
     <flag contact='disable'/>
   </option>
   <worldbody>
+    <camera name='fixed' pos='0 -1.5 2' xyaxes='1 0 0 0 1 1'/>
     <body name='pole' pos='0 0 .6'>
       <joint name='hinge' type='hinge' axis='0 1 0' damping='0.1'/>
       <geom name='pole' type='capsule' fromto='0 0 0 0 0 0.5'

@@ -30,6 +30,7 @@ _XML = """
     <motor gear='.1' ctrlrange='-1 1' ctrllimited='true'/>
   </default>
   <worldbody>
+    <camera name='fixed' pos='0 0 .75' quat='1 0 0 0'/>
     <body name='pointmass' pos='0 0 .01'>
       <joint name='root_x' type='slide' pos='0 0 0' axis='1 0 0'/>
       <joint name='root_y' type='slide' pos='0 0 0' axis='0 1 0'/>

@@ -31,6 +31,7 @@ _XML = """
     <motor gear='.05' ctrlrange='-1 1' ctrllimited='true'/>
   </default>
   <worldbody>
+    <camera name='fixed' pos='0 0 .75' quat='1 0 0 0'/>
     <body name='arm' pos='0 0 .01'>
       <geom name='arm' type='capsule' fromto='0 0 0 0.12 0 0' size='.01'/>
       <joint name='shoulder'/>

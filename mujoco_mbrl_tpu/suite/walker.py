@@ -38,6 +38,8 @@ _XML = """
     <geom name='floor' type='plane' conaffinity='1' pos='248 0 0'
           size='250 .8 .2' zaxis='0 0 1'/>
     <body name='torso' pos='0 0 1.3' childclass='walker'>
+      <camera name='side' pos='0 -2 .7' euler='60 0 0' mode='trackcom'/>
+      <camera name='back' pos='-2 0 .5' xyaxes='0 -1 0 1 0 3' mode='trackcom'/>
       <joint name='rootz' axis='0 0 1' type='slide' limited='false'
              armature='0' damping='0'/>
       <joint name='rootx' axis='1 0 0' type='slide' limited='false'

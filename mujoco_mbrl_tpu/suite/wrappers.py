@@ -27,7 +27,8 @@ class PixelWrapper:
     def __init__(self, env: control.Environment, pixels_only: bool = True,
                  height: int = 64, width: int = 64,
                  observation_key: str = 'pixels',
-                 plane: str = 'xz', extent: float = 2.0):
+                 plane: str = 'xz', extent: float = 2.0,
+                 camera_id=None):
         self._env = env
         self._pixels_only = pixels_only
         self._key = observation_key
@@ -35,6 +36,18 @@ class PixelWrapper:
         self._width = width
         self._plane = plane
         self._extent = extent
+        # camera-posed perspective rendering (utils.raycast) when the
+        # model defines cameras — matching the reference pixels wrapper's
+        # camera_id kwarg (suite/wrappers/pixels.py render_kwargs);
+        # None falls back to a named camera if any exist, else the
+        # orthographic debug rasterizer.
+        self._camera = None
+        model = env.model
+        if camera_id is None and model.ncam:
+            camera_id = 0
+        if camera_id is not None:
+            from ..utils.raycast import Camera
+            self._camera = Camera(model, height, width, camera_id)
 
     def __getattr__(self, name):
         return getattr(self._env, name)
@@ -45,8 +58,12 @@ class PixelWrapper:
         data = engine.forward(
             m, env_state.physics,
             jnp.zeros((m.nu,), env_state.physics.qpos.dtype))
-        pixels = render_mod.render(m, data, self._height, self._width,
-                                   plane=self._plane, extent=self._extent)
+        if self._camera is not None:
+            pixels = self._camera.render(data)
+        else:
+            pixels = render_mod.render(m, data, self._height, self._width,
+                                       plane=self._plane,
+                                       extent=self._extent)
         if self._pixels_only:
             obs = collections.OrderedDict([(self._key, pixels)])
         else:

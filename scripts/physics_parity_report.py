@@ -58,7 +58,7 @@ def main():
             qpos, qvel = our_physics_rollout(env, fix, n_steps=args.steps,
                                              dtype=dtype)
         except Exception as e:  # noqa: BLE001
-            print(f'== {domain}:{task}: ROLLOUT FAILED {e!r}')
+            print(f'== {domain}:{task}: ROLLOUT FAILED {e!r}', flush=True)
             continue
         n = qpos.shape[0]
         oracle = np.asarray(fix['p_qpos'])[:n]
@@ -70,7 +70,7 @@ def main():
         _, dev = steps_within(qpos, oracle, np.inf)
         line.append(f'  final max|Δqpos|={dev[-1]:.3e}  '
                     f'max over traj={dev.max():.3e}')
-        print('\n'.join(line))
+        print('\n'.join(line), flush=True)
 
 
 if __name__ == '__main__':

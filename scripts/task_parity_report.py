@@ -46,11 +46,11 @@ def main():
             env = load_our_env(domain, task)
             errors = task_parity_errors(env, fix)
         except Exception as e:  # noqa: BLE001
-            print(f'== {domain}:{task}: FAILED {e!r}')
+            print(f'== {domain}:{task}: FAILED {e!r}', flush=True)
             continue
         worst = max((v for v in errors.values()
                      if isinstance(v, float)), default=0.0)
-        print(f'== {domain}:{task}: worst {worst:.3e}')
+        print(f'== {domain}:{task}: worst {worst:.3e}', flush=True)
         for k, v in sorted(errors.items()):
             if isinstance(v, float):
                 flag = '  <-- ' if v > 1e-4 else ''
