@@ -185,6 +185,12 @@ class _TaskAdapter(suite_base.Task):
     def __init__(self, task: Task):
         self._task = task
         self._observables = task.observables()
+        # early-termination protocol is optional (rl/control.py:115-121);
+        # only surface it when the composer task defines it
+        if hasattr(task, 'get_termination'):
+            self.get_termination = (
+                lambda model, phys, data:
+                task.get_termination(model, phys, data))
 
     def initialize_episode(self, model, key):
         return self._task.initialize_episode(model, key)
