@@ -139,7 +139,11 @@ def main():
     p.add_argument('--envs', type=int, default=128)
     p.add_argument('--candidates', type=int, default=1000)
     p.add_argument('--horizon', type=int, default=30)
-    p.add_argument('--cem_iters', type=int, default=5)
+    p.add_argument('--cem_iters', type=int, default=3,
+                   help='CEM refinement iterations. The reference plans '
+                        'with a SINGLE random-shooting pass '
+                        '(planners.py:202-209); 3 CEM iterations is '
+                        'already a strictly stronger planner per step.')
     p.add_argument('--steps', type=int, default=10)
     p.add_argument('--repeats', type=int, default=3)
     p.add_argument('--cpu', action='store_true')

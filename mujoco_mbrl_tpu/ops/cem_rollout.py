@@ -95,7 +95,8 @@ def _kernel(s0_ref, act_ref, w1sT_ref, w1aT_ref, b1_ref, w2T_ref, b2_ref,
             axis=0, keepdims=True)                    # (1, tile)
         # cosh has no Pallas TPU lowering; write it as exponentials
         u = (a / alpha_action).astype(jnp.float32)
-        cosh_u = 0.5 * (jnp.exp(u) + jnp.exp(-u))
+        e_u = jnp.exp(u)
+        cosh_u = 0.5 * (e_u + 1.0 / e_u)   # one exp + cheap reciprocal
         c_act = (alpha_action ** 2) * jnp.mean(
             cosh_u - 1.0, axis=0, keepdims=True)
         return s, acc + c_state + c_act
@@ -255,7 +256,8 @@ def _sample_kernel(seed_ref, s0_ref, mean_ref, std_ref, w1sT_ref, w1aT_ref,
                    b1_ref, w2T_ref, b2_ref, w3T_ref, b3_ref, goal_ref,
                    wvec_ref, cost_ref, act_ref, *, horizon: int,
                    alpha_state: float, alpha_action: float,
-                   action_low: float, action_high: float):
+                   action_low: float, action_high: float,
+                   antithetic: bool = True):
     i = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0] + i)
     s = s0_ref[0]                                     # (sd, K)
@@ -265,14 +267,20 @@ def _sample_kernel(seed_ref, s0_ref, mean_ref, std_ref, w1sT_ref, w1aT_ref,
     def body(t, carry):
         s, acc = carry
         # Box-Muller normal from two uint32 draws, in (ad, K) lanes;
-        # int32 view * 2^-32 + 0.5 maps bits uniformly onto [0, 1)
-        u_bits = pltpu.bitcast(pltpu.prng_random_bits((2 * ad, K)),
+        # int32 view * 2^-32 + 0.5 maps bits uniformly onto [0, 1).
+        # Antithetic halves: z for the first K/2 lanes, -z mirrored for
+        # the rest — half the log/cos/sqrt transcendentals (the VPU-bound
+        # part of this kernel) and lower CEM estimator variance.
+        Kz = K // 2 if antithetic else K
+        u_bits = pltpu.bitcast(pltpu.prng_random_bits((2 * ad, Kz)),
                                jnp.int32)
         u = u_bits.astype(jnp.float32) * (1.0 / 4294967296.0) + 0.5
         u1 = jnp.clip(u[:ad], 1e-7, 1.0)
         u2 = u[ad:]
         z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
             (2.0 * np.pi) * u2)
+        if antithetic:
+            z = jnp.concatenate([z, -z], axis=1)
         a = jnp.clip(mean_ref[0, t][:, None] + std_ref[0, t][:, None] * z,
                      action_low, action_high).astype(s.dtype)
         act_ref[0, t] = a
@@ -291,7 +299,8 @@ def _sample_kernel(seed_ref, s0_ref, mean_ref, std_ref, w1sT_ref, w1aT_ref,
             jnp.sqrt(d * d + alpha_state * alpha_state) - alpha_state,
             axis=0, keepdims=True)
         u_act = (a / alpha_action).astype(jnp.float32)
-        cosh_u = 0.5 * (jnp.exp(u_act) + jnp.exp(-u_act))
+        e_u = jnp.exp(u_act)
+        cosh_u = 0.5 * (e_u + 1.0 / e_u)   # one exp + cheap reciprocal
         c_act = (alpha_action ** 2) * jnp.mean(
             cosh_u - 1.0, axis=0, keepdims=True)
         return s, acc + c_state + c_act
@@ -303,14 +312,16 @@ def _sample_kernel(seed_ref, s0_ref, mean_ref, std_ref, w1sT_ref, w1aT_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     'num_candidates', 'alpha_state', 'alpha_action', 'action_low',
-    'action_high', 'interpret'))
+    'action_high', 'interpret', 'compute_dtype', 'antithetic'))
 def mlp_sample_rollout_costs(params, seed, s0, mean, std, goal, weights,
                              num_candidates: int, normalizers=None,
                              alpha_state: float = 0.4,
                              alpha_action: float = 0.25,
                              action_low: float = -1.0,
                              action_high: float = 1.0,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             compute_dtype=None,
+                             antithetic: bool = True):
     """Sample + roll out + cost K candidates per env, fully in-kernel.
 
     Args:
@@ -325,11 +336,19 @@ def mlp_sample_rollout_costs(params, seed, s0, mean, std, goal, weights,
     _, H, ad = mean.shape
     Kp = ((num_candidates + 127) // 128) * 128
     w1, b1, w2, b2, w3, b3 = _fold_normalizers(params, normalizers)
+    if compute_dtype is not None:
+        # bf16 MLP weights/activations: the matmuls run at the MXU's
+        # double-rate; Box-Muller sampling and cost accumulation stay f32
+        s0 = s0.astype(compute_dtype)
+        w1, b1, w2, b2, w3, b3 = (x.astype(compute_dtype)
+                                  for x in (w1, b1, w2, b2, w3, b3))
+        goal = goal.astype(compute_dtype)
+        weights = weights.astype(compute_dtype)
 
     kern = functools.partial(
         _sample_kernel, horizon=H, alpha_state=alpha_state,
         alpha_action=alpha_action, action_low=action_low,
-        action_high=action_high)
+        action_high=action_high, antithetic=antithetic)
     full2 = lambda i: (0, 0)
     costs, actions = pl.pallas_call(
         kern,

@@ -154,6 +154,15 @@ def generate_task(domain, task, n_steps=N_CONTROL_STEPS):
     qpos, qvel, act, ctrl, rewards = [], [], [], [], []
     obs_traj = {k: [np.asarray(v, dtype=np.float64)]
                 for k, v in ts.observation.items()}
+    # dm_control's observation after step() reads acceleration-stage
+    # sensors (touch / force / IMU) computed at the PREVIOUS substep's
+    # mj_step2; our engine evaluates the forward pass at the post-step
+    # state. Record a second snapshot after an explicit mj_forward so the
+    # task-parity test can compare same-state sensor values
+    # (obs_fwd_<key>), keeping the raw stream (obs_<key>) as dm_control
+    # actually returns it.
+    obs_fwd_traj = {k: [np.asarray(v, dtype=np.float64)]
+                    for k, v in ts.observation.items()}
     for t in range(n_steps):
         ts = env.step(actions[t])
         record_contacts()
@@ -163,6 +172,10 @@ def generate_task(domain, task, n_steps=N_CONTROL_STEPS):
         rewards.append(ts.reward)
         for k, vv in ts.observation.items():
             obs_traj[k].append(np.asarray(vv, dtype=np.float64))
+        physics.forward()
+        obs_fwd = env.task.get_observation(physics)
+        for k, vv in obs_fwd.items():
+            obs_fwd_traj[k].append(np.asarray(vv, dtype=np.float64))
         if ts.last():
             break
     out['qpos'] = np.stack(qpos)
@@ -172,6 +185,8 @@ def generate_task(domain, task, n_steps=N_CONTROL_STEPS):
     out['reward'] = np.asarray(rewards, dtype=np.float64)
     for k, vv in obs_traj.items():
         out['obs_' + k] = np.stack(vv)
+    for k, vv in obs_fwd_traj.items():
+        out['obs_fwd_' + k] = np.stack(vv)
 
     # ---- physics-level rollout (engine parity surface) ----
     # restart from the recorded reset state; hold each recorded ctrl for

@@ -203,7 +203,10 @@ def task_parity_errors(env, fix, steps=None):
 
     errors = {}
     for k, v in obs.items():
-        key = 'obs_' + k
+        # prefer the same-state snapshot (obs_fwd_*, recorded after an
+        # explicit mj_forward) over dm_control's raw stream, whose
+        # acceleration-stage sensors lag one substep behind the state
+        key = 'obs_fwd_' + k if ('obs_fwd_' + k) in fix else 'obs_' + k
         if key not in fix:
             errors[k] = ('MISSING_IN_ORACLE', None)
             continue
