@@ -310,9 +310,80 @@ def _sample_kernel(seed_ref, s0_ref, mean_ref, std_ref, w1sT_ref, w1aT_ref,
     cost_ref[0] = acc
 
 
+def _sample_kernel_multi(seed_ref, s0_ref, mean_ref, std_ref, w1sT_ref,
+                         w1aT_ref, b1_ref, w2T_ref, b2_ref, w3T_ref,
+                         b3_ref, goal_ref, wvec_ref, cost_ref, act_ref, *,
+                         horizon: int, alpha_state: float,
+                         alpha_action: float, action_low: float,
+                         action_high: float, antithetic: bool,
+                         group: int, k_per_env: int):
+    """G-envs-per-program variant: candidates of `group` envs share each
+    MLP matmul, so the MXU streams (hidden, G*K)-lane passes instead of G
+    separate (hidden, K) ones.
+
+    Measured (v5e, walker config): kernel-only 4.19 -> 3.66 ms/iter at
+    G=2, but the (B, H, ad, K) action un-interleave transpose outside the
+    kernel eats the gain end-to-end (bench 6089 -> 5939 steps/s), so the
+    default stays G=1; the knob remains for configs where the planner
+    consumes grouped-lane actions directly. G=8 exceeds the 16 MB VMEM
+    scoped limit."""
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + i)
+    s = s0_ref[0]                                     # (sd, G*K)
+    N = s.shape[1]
+    ad = mean_ref.shape[3]
+    G, K = group, k_per_env
+
+    def body(t, carry):
+        s, acc = carry
+        Nz = N // 2 if antithetic else N
+        u_bits = pltpu.bitcast(pltpu.prng_random_bits((2 * ad, Nz)),
+                               jnp.int32)
+        u = u_bits.astype(jnp.float32) * (1.0 / 4294967296.0) + 0.5
+        u1 = jnp.clip(u[:ad], 1e-7, 1.0)
+        u2 = u[ad:]
+        z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos((2.0 * np.pi) * u2)
+        if antithetic:
+            z = jnp.concatenate([z, -z], axis=1)
+        mean_x = jnp.concatenate(
+            [jnp.broadcast_to(mean_ref[0, g, t][:, None], (ad, K))
+             for g in range(G)], axis=1)              # (ad, G*K)
+        std_x = jnp.concatenate(
+            [jnp.broadcast_to(std_ref[0, g, t][:, None], (ad, K))
+             for g in range(G)], axis=1)
+        a = jnp.clip(mean_x + std_x * z,
+                     action_low, action_high).astype(s.dtype)
+        act_ref[0, t] = a
+        dt = s.dtype
+        h = (jnp.dot(w1sT_ref[:], s, preferred_element_type=jnp.float32)
+             + jnp.dot(w1aT_ref[:], a, preferred_element_type=jnp.float32)
+             + b1_ref[:])
+        h = jnp.maximum(h, 0.0).astype(dt)
+        h = jnp.maximum(
+            jnp.dot(w2T_ref[:], h, preferred_element_type=jnp.float32)
+            + b2_ref[:], 0.0).astype(dt)
+        s = (jnp.dot(w3T_ref[:], h, preferred_element_type=jnp.float32)
+             + b3_ref[:]).astype(dt)
+        d = ((s - goal_ref[:]) * wvec_ref[:]).astype(jnp.float32)
+        c_state = jnp.sum(
+            jnp.sqrt(d * d + alpha_state * alpha_state) - alpha_state,
+            axis=0, keepdims=True)
+        u_act = (a / alpha_action).astype(jnp.float32)
+        e_u = jnp.exp(u_act)
+        cosh_u = 0.5 * (e_u + 1.0 / e_u)
+        c_act = (alpha_action ** 2) * jnp.mean(
+            cosh_u - 1.0, axis=0, keepdims=True)
+        return s, acc + c_state + c_act
+
+    acc0 = jnp.zeros((1, N), jnp.float32)
+    s, acc = jax.lax.fori_loop(0, horizon, body, (s, acc0))
+    cost_ref[0] = acc
+
+
 @functools.partial(jax.jit, static_argnames=(
     'num_candidates', 'alpha_state', 'alpha_action', 'action_low',
-    'action_high', 'interpret', 'compute_dtype', 'antithetic'))
+    'action_high', 'interpret', 'compute_dtype', 'antithetic',
+    'envs_per_program'))
 def mlp_sample_rollout_costs(params, seed, s0, mean, std, goal, weights,
                              num_candidates: int, normalizers=None,
                              alpha_state: float = 0.4,
@@ -321,7 +392,8 @@ def mlp_sample_rollout_costs(params, seed, s0, mean, std, goal, weights,
                              action_high: float = 1.0,
                              interpret: bool = False,
                              compute_dtype=None,
-                             antithetic: bool = True):
+                             antithetic: bool = True,
+                             envs_per_program: int = 1):
     """Sample + roll out + cost K candidates per env, fully in-kernel.
 
     Args:
@@ -335,6 +407,12 @@ def mlp_sample_rollout_costs(params, seed, s0, mean, std, goal, weights,
     B, sd = s0.shape
     _, H, ad = mean.shape
     Kp = ((num_candidates + 127) // 128) * 128
+    G = envs_per_program
+    if G > 1 and B % G == 0 and not interpret:
+        return _sample_multi(params, seed, s0, mean, std, goal, weights,
+                             num_candidates, normalizers, alpha_state,
+                             alpha_action, action_low, action_high,
+                             compute_dtype, antithetic, G)
     w1, b1, w2, b2, w3, b3 = _fold_normalizers(params, normalizers)
     if compute_dtype is not None:
         # bf16 MLP weights/activations: the matmuls run at the MXU's
@@ -392,3 +470,73 @@ def mlp_sample_rollout_costs(params, seed, s0, mean, std, goal, weights,
       b3[:, None], goal[:, None], weights[:, None])
     return (costs[:, 0, :num_candidates],
             actions[:, :, :, :num_candidates])
+
+
+def _sample_multi(params, seed, s0, mean, std, goal, weights,
+                  num_candidates, normalizers, alpha_state, alpha_action,
+                  action_low, action_high, compute_dtype, antithetic, G):
+    B, sd = s0.shape
+    _, H, ad = mean.shape
+    Kp = ((num_candidates + 127) // 128) * 128
+    w1, b1, w2, b2, w3, b3 = _fold_normalizers(params, normalizers)
+    if compute_dtype is not None:
+        s0 = s0.astype(compute_dtype)
+        w1, b1, w2, b2, w3, b3 = (x.astype(compute_dtype)
+                                  for x in (w1, b1, w2, b2, w3, b3))
+        goal = goal.astype(compute_dtype)
+        weights = weights.astype(compute_dtype)
+    BG = B // G
+    N = G * Kp
+    kern = functools.partial(
+        _sample_kernel_multi, horizon=H, alpha_state=alpha_state,
+        alpha_action=alpha_action, action_low=action_low,
+        action_high=action_high, antithetic=antithetic, group=G,
+        k_per_env=Kp)
+    full2 = lambda i: (0, 0)
+    # s0 expanded to the grouped-lane layout: env g's candidates occupy
+    # lanes [g*Kp, (g+1)*Kp) of its group's program
+    s0g = jnp.broadcast_to(
+        s0.reshape(BG, G, sd, 1).transpose(0, 2, 1, 3),
+        (BG, sd, G, Kp)).reshape(BG, sd, N)
+    costs, actions = pl.pallas_call(
+        kern,
+        grid=(BG,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, sd, N), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, H, ad), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, H, ad), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w1[:sd].T.shape, full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w1[sd:].T.shape, full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((w1.shape[1], 1), full2,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w2.T.shape, full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((w2.shape[1], 1), full2,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w3.T.shape, full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((w3.shape[1], 1), full2,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sd, 1), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((sd, 1), full2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, N), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, ad, N), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((BG, 1, N), jnp.float32),
+            jax.ShapeDtypeStruct((BG, H, ad, N), s0.dtype),
+        ),
+    )(jnp.asarray([seed], jnp.int32), s0g,
+      mean.reshape(BG, G, H, ad), std.reshape(BG, G, H, ad),
+      w1[:sd].T, w1[sd:].T, b1[:, None], w2.T, b2[:, None], w3.T,
+      b3[:, None], goal[:, None], weights[:, None])
+    costs = costs.reshape(BG, G, Kp).reshape(B, Kp)
+    actions = actions.reshape(BG, H, ad, G, Kp).transpose(
+        0, 3, 1, 2, 4).reshape(B, H, ad, Kp)
+    return (costs[:, :num_candidates], actions[..., :num_candidates])

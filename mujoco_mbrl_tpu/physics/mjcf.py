@@ -358,7 +358,14 @@ def parse(xml_string: str, dtype=np.float32) -> M.Model:
             ft = _floats(attrs['fromto'])
             p0, p1 = ft[:3], ft[3:]
             pos = 0.5 * (p0 + p1)
-            quat = _zaxis_quat(p1 - p0)
+            # mjModel's fromto frame: +z is the minimal rotation onto the
+            # normalized (from - to) direction — i.e. z points from the
+            # second endpoint back toward the first (verified against
+            # m_geom_quat for fish mouth, cheetah torso, ball_in_cup cup
+            # parts, and the quadruped's diagonal shins). The shape is
+            # axis-symmetric, but frame-dependent observations (fish
+            # mouth-frame target vector) see the difference.
+            quat = _zaxis_quat(p0 - p1)
             size[1] = 0.5 * np.linalg.norm(p1 - p0)
 
         vol = _geom_volume(gtype, size)
@@ -412,10 +419,19 @@ def parse(xml_string: str, dtype=np.float32) -> M.Model:
         name = attrs.get('name')
         if name:
             b.site_names[name] = len(b.sites)
+        stype = attrs.get('type', 'sphere')
+        ssize = np.full(3, 0.005)   # MuJoCo site default size
+        if 'size' in attrs:
+            sz = _floats(attrs['size'])
+            ssize[:len(sz)] = sz
+            if len(sz) == 1:
+                ssize[:] = sz[0]
         b.sites.append(dict(
             body=body_id,
             pos=_floats(attrs['pos']) if 'pos' in attrs else np.zeros(3),
-            quat=b.orientation(attrs)))
+            quat=b.orientation(attrs),
+            type=_GEOM_TYPES.get(stype, M.SPHERE),
+            size=ssize))
 
     def add_joint(attrs: Dict[str, str], body_id: int):
         jtype = _JOINT_TYPES[attrs.get('type', 'hinge')]
@@ -805,7 +821,15 @@ def parse(xml_string: str, dtype=np.float32) -> M.Model:
             viscosity=arr(viscosity), density=arr(density), wind=arr(wind),
             integrator=integrator, disableflags=disableflags,
             cone=cone, impratio=impratio,
-            solver_iterations=solver_iterations),
+            solver_iterations=solver_iterations,
+            # APGD (dense batched matvecs, MXU-friendly) converges to the
+            # oracle solution on the pyramidal problem — all rows are
+            # simple non-negativity cones. The elliptic SOC blocks plus
+            # stiff tendon-equality rows (manipulator/stacker/finger)
+            # stall first-order projection: row-sweep PGS reproduces
+            # MuJoCo's solution there bit-for-bit (measured), so elliptic
+            # models default to it.
+            solver=('pgs' if cone == 'elliptic' else 'apgd')),
         nq=nq, nv=nv, nu=nu, nbody=nbody, njnt=njnt,
         ngeom=len(b.geoms), nsite=len(b.sites), ntendon=ntendon,
         body_parent=tuple(b.body_parent),
@@ -853,6 +877,8 @@ def parse(xml_string: str, dtype=np.float32) -> M.Model:
         geom_solmix=arr([g['solmix'] for g in b.geoms], (len(b.geoms),)),
         site_pos=arr([s['pos'] for s in b.sites], (len(b.sites), 3)),
         site_quat=arr([s['quat'] for s in b.sites], (len(b.sites), 4)),
+        site_type=tuple(s['type'] for s in b.sites),
+        site_size=arr([s['size'] for s in b.sites], (len(b.sites), 3)),
         tendon_moment=arr(tendon_moment, (ntendon, nv)),
         tendon_stiffness=arr(tendon_stiffness, (ntendon,)),
         tendon_damping=arr(tendon_damping, (ntendon,)),

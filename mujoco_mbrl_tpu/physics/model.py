@@ -206,6 +206,11 @@ class Model:
     contact_excludes: Tuple[Tuple[int, int], ...] = struct.field(
         pytree_node=False, default=())
 
+    # --- site shape (touch-sensor zone volumes; geom type codes) ---------
+    site_type: Tuple[int, ...] = struct.field(pytree_node=False,
+                                              default=())
+    site_size: Optional[jnp.ndarray] = None   # (nsite, 3)
+
     # --- cameras (visual only; consumed by utils.render ray casting) -----
     ncam: int = struct.field(pytree_node=False, default=0)
     cam_body: Tuple[int, ...] = struct.field(pytree_node=False, default=())

@@ -499,13 +499,19 @@ def solve_apgd(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
         safe = jnp.where(s_inv[box_rows] > 0, s_inv[box_rows], 1.0)
         bounds = bounds / safe
 
-    # step size from the preconditioned spectral radius (power iteration)
+    # Step size from the preconditioned spectral radius (power iteration).
+    # Redundant coplanar facet rows (plane-box: 4 coincident-normal
+    # contacts x 4 facets) make the leading eigenspace nearly degenerate;
+    # 12 unguarded iterations can underestimate lambda_max enough that
+    # 1/L oversteps and the iteration DIVERGES (observed: qacc -> 1e19).
+    # More iterations plus a 1.5x safety margin keeps the step inside the
+    # convergence region at negligible cost (one matvec each).
     def power(_, v):
         w = Ad @ v
         return w / jnp.maximum(jnp.linalg.norm(w), 1e-12)
     v0 = jnp.ones((cs.J.shape[0],), dtype) / (cs.J.shape[0] ** 0.5)
-    v = jax.lax.fori_loop(0, 12, power, v0)
-    L = jnp.maximum(v @ (Ad @ v), 1.0)  # unit diagonal -> L >= 1
+    v = jax.lax.fori_loop(0, 24, power, v0)
+    L = 1.5 * jnp.maximum(v @ (Ad @ v), 1.0)  # unit diagonal -> L >= 1
 
     def proj(f):
         if len(nonneg):

@@ -34,6 +34,7 @@ _XML = """
     <motor ctrllimited='true' ctrlrange='-1 1'/>
     <default class='finger'>
       <joint damping='2.5' limited='true'/>
+      <site type='ellipsoid' size='.025 .03 .025'/>
     </default>
   </default>
   <worldbody>

@@ -26,6 +26,7 @@ _XML = """
   <option timestep='0.005'/>
   <default>
     <default class='hopper'>
+      <site type='sphere' size='0.05'/>
       <joint type='hinge' axis='0 1 0' limited='true' damping='.05'
              armature='.2'/>
       <geom type='capsule'/>

@@ -106,7 +106,7 @@ def _make_model_xml(use_peg: bool = False, insert: bool = False,
             props += _SLOT if use_peg else _CUP
     return f"""
 <mujoco model='planar manipulator'>
-  <option timestep='0.001'/>
+  <option timestep='0.001' cone='elliptic'/>
   <default>
     <geom friction='.7' solimp='0.9 0.97 0.001' solref='{geom_solref}'/>
     <joint solimplimit='0 0.99 0.01' solreflimit='.005 1'/>

@@ -69,20 +69,40 @@ def contact_layout(m: M.Model) -> List[Tuple[int, int]]:
     return layout
 
 
-def touch(m: M.Model, data: M.Data, site_id: int, geom_id: int,
-          radius: float = 0.1) -> jnp.ndarray:
-    """Touch sensor: sum of contact normal forces on `geom_id` within
-    `radius` of the site (approximates MuJoCo's site-volume test)."""
+def touch(m: M.Model, data: M.Data, site_id: int,
+          geom_id: int = None, radius: float = None) -> jnp.ndarray:
+    """Touch sensor with MuJoCo's exact semantics (mjSENS_TOUCH): sum of
+    normal-force magnitudes over every contact that (a) involves a geom
+    on the site's BODY and (b) whose contact point lies inside the site's
+    actual volume (sphere/capsule/ellipsoid/box with the site's size and
+    pose). `geom_id`/`radius` are accepted for backward compatibility and
+    ignored — the body + site-zone test is the real contract.
+    """
+    from ..physics import math as pm
     layout = contact_layout(m)
+    body = m.site_body[site_id]
+    stype = m.site_type[site_id] if m.site_type else M.SPHERE
+    size = (m.site_size[site_id] if m.site_size is not None
+            else jnp.full(3, 0.005))
+    R_site = data.ximat[body] @ pm.quat_to_mat(m.site_quat[site_id])
     total = jnp.zeros((), data.contact_force.dtype)
     for c, (g1, g2) in enumerate(layout):
-        if geom_id not in (g1, g2):
+        if m.geom_body[g1] != body and m.geom_body[g2] != body:
             continue
-        d = jnp.linalg.norm(data.contact_pos[c] - data.site_xpos[site_id])
-        near = (d < radius).astype(total.dtype)
-        active = (data.contact_dist[c] < 0).astype(total.dtype)
-        total = total + near * active * jnp.maximum(
-            data.contact_force[c, 0], 0.0)
+        p = (data.contact_pos[c] - data.site_xpos[site_id]) @ R_site
+        if stype == M.SPHERE:
+            inside = jnp.sum((p / size[0]) ** 2) <= 1.0
+        elif stype == M.CAPSULE:
+            z = jnp.clip(p[2], -size[1], size[1])
+            inside = (p[0] ** 2 + p[1] ** 2
+                      + (p[2] - z) ** 2) <= size[0] ** 2
+        elif stype == M.ELLIPSOID:
+            inside = jnp.sum((p / size) ** 2) <= 1.0
+        else:  # BOX / CYLINDER -> box test (MuJoCo supports box zones)
+            inside = jnp.all(jnp.abs(p) <= size)
+        active = (data.contact_dist[c] < 0)
+        total = total + (inside & active).astype(total.dtype) * \
+            jnp.maximum(data.contact_force[c, 0], 0.0)
     return total
 
 

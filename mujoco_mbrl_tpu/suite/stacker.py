@@ -56,8 +56,9 @@ class Stack(base.Task):
     def __init__(self, n_boxes: int, fully_observable: bool):
         self._n_boxes = n_boxes
         self._box_names = [f'box{b}' for b in range(n_boxes)]
+        # observation order is x, y(hinge), z per box (stacker.py:136-139)
         self._box_joints = [f'{n}_{d}' for n in self._box_names
-                            for d in 'xzy']
+                            for d in 'xyz']
         self._fully_observable = fully_observable
 
     # -- episode init -------------------------------------------------------

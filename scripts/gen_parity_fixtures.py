@@ -108,8 +108,13 @@ def get_state(physics):
 
 def sample_actions(env, rng, n):
     spec = env.action_spec()
-    lo = np.where(np.isfinite(spec.minimum), spec.minimum, -1.0)
-    hi = np.where(np.isfinite(spec.maximum), spec.maximum, 1.0)
+    # unlimited actuators (lqr) report huge finite bounds; clamp to +-1
+    # so the driving sequence stays in a sane regime (the reference's own
+    # sample_action clips to +-3, env_wrappers.py:50-62)
+    lo = np.clip(np.where(np.isfinite(spec.minimum), spec.minimum, -1.0),
+                 -1.0, 1.0)
+    hi = np.clip(np.where(np.isfinite(spec.maximum), spec.maximum, 1.0),
+                 -1.0, 1.0)
     return rng.uniform(lo, hi, size=(n,) + spec.shape).astype(np.float64)
 
 

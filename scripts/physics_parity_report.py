@@ -25,13 +25,21 @@ FIXTURE_DIR = os.path.join(os.path.dirname(__file__), os.pardir,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--tasks', nargs='*', default=None)
+    ap.add_argument('--skip', nargs='*', default=None,
+                    help='domain names to skip')
+    ap.add_argument('--tpu', action='store_true',
+                    help='run on the default (TPU) backend instead of '
+                         'CPU — compiles are much faster there for the '
+                         'deep humanoid_cmu model')
     ap.add_argument('--steps', type=int, default=None)
     ap.add_argument('--x64', action='store_true',
                     help='run our engine in float64')
     args = ap.parse_args()
 
     import jax
-    jax.config.update('jax_platforms', 'cpu')
+    if not args.tpu:
+        jax.config.update('jax_platforms', 'cpu')
+    jax.config.update('jax_compilation_cache_dir', '/tmp/jax_bench_cache')
     if args.x64:
         jax.config.update('jax_enable_x64', True)
     import jax.numpy as jnp
@@ -44,6 +52,8 @@ def main():
     if args.tasks:
         sel = {tuple(t.split(':')) for t in args.tasks}
         tasks = [t for t in tasks if t in sel]
+    if args.skip:
+        tasks = [t for t in tasks if t[0] not in set(args.skip)]
 
     dtype = jnp.float64 if args.x64 else jnp.float32
     for domain, task in tasks:

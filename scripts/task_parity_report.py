@@ -22,10 +22,18 @@ FIXTURE_DIR = os.path.join(os.path.dirname(__file__), os.pardir,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--tasks', nargs='*', default=None)
+    ap.add_argument('--skip', nargs='*', default=None,
+                    help='domain names to skip')
+    ap.add_argument('--tpu', action='store_true',
+                    help='run on the default (TPU) backend instead of '
+                         'CPU — compiles are much faster there for the '
+                         'deep humanoid_cmu model')
     args = ap.parse_args()
 
     import jax
-    jax.config.update('jax_platforms', 'cpu')
+    if not args.tpu:
+        jax.config.update('jax_platforms', 'cpu')
+    jax.config.update('jax_compilation_cache_dir', '/tmp/jax_bench_cache')
     import mujoco_mbrl_tpu.suite as suite
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
                                     'tests'))
@@ -35,6 +43,8 @@ def main():
     if args.tasks:
         sel = {tuple(t.split(':')) for t in args.tasks}
         tasks = [t for t in tasks if t in sel]
+    if args.skip:
+        tasks = [t for t in tasks if t[0] not in set(args.skip)]
 
     for domain, task in tasks:
         path = os.path.join(FIXTURE_DIR, f'{domain}_{task}.npz')

@@ -47,7 +47,9 @@ def our_physics_rollout(env, fix, n_steps=None, dtype=None):
         dtype = jnp.float32
     m = env.model
     if 'ep_hfield_data' in fix and m.hfield_data is not None:
-        m = m.replace(hfield_data=jnp.asarray(fix['ep_hfield_data'], dtype))
+        hf = np.asarray(fix['ep_hfield_data']).reshape(
+            m.hfield_nrow, m.hfield_ncol)
+        m = m.replace(hfield_data=jnp.asarray(hf, dtype))
     nsub = int(fix['n_sub_steps'])
     total = fix['p_qpos'].shape[0] - 1
     if n_steps is not None:
@@ -158,7 +160,9 @@ def episode_model(env, fix):
     if 'ep_dof_damping' in fix and int(fix['m_nv']) == m.nv:
         updates['dof_damping'] = jnp.asarray(fix['ep_dof_damping'], dtype)
     if 'ep_hfield_data' in fix and m.hfield_data is not None:
-        updates['hfield_data'] = jnp.asarray(fix['ep_hfield_data'], dtype)
+        updates['hfield_data'] = jnp.asarray(
+            np.asarray(fix['ep_hfield_data']).reshape(
+                m.hfield_nrow, m.hfield_ncol), dtype)
     return m.replace(**updates)
 
 
@@ -213,7 +217,8 @@ def task_parity_errors(env, fix, steps=None):
         oracle = np.asarray(fix[key])[idx + 1]   # obs after step t
         ours = np.asarray(v, np.float64).reshape(oracle.shape)
         errors[k] = float(np.max(np.abs(ours - oracle)))
-    oracle_keys = {k[4:] for k in fix.files if k.startswith('obs_')}
+    oracle_keys = {k[4:] for k in fix.files
+                   if k.startswith('obs_') and not k.startswith('obs_fwd_')}
     for k in oracle_keys - set(obs.keys()):
         errors[k] = ('MISSING_IN_OURS', None)
     errors['__reward__'] = float(np.max(np.abs(

