@@ -286,15 +286,40 @@ def crba(m: M.Model, cdof, cinert, meta: TreeMeta) -> jnp.ndarray:
 # --------------------------------------------------------------------------
 
 def velocities(m: M.Model, qvel, cdof, meta: TreeMeta):
-    """Body spatial velocities cvel and per-dof cdof_dot (world frame)."""
+    """Body spatial velocities cvel and per-dof cdof_dot (world frame).
+
+    Matches mj_comVel's per-joint-type ordering exactly (reference
+    semantics: engine_core_smooth.c): for BALL and FREE-rotation dof
+    triples, all three cdof_dot vectors are computed with the body
+    velocity BEFORE that joint's rotational contributions are added
+    (free-joint translations ARE added first); hinge/slide use the
+    velocity before their own dof. Free translations have cdof_dot = 0.
+    Getting this wrong leaves O(1) errors in qfrc_bias on every free- or
+    ball-jointed model as soon as the root rotates.
+    """
     dtype = qvel.dtype
     cvel = [jnp.zeros(6, dtype)]
     cdof_dot = [None] * m.nv
     for b in range(1, m.nbody):
         v = cvel[m.body_parent[b]]
-        for k in meta.body_dofs[b]:
-            cdof_dot[k] = pm.motion_cross(v, cdof[k])
-            v = v + cdof[k] * qvel[k]
+        for j in meta.body_joints[b]:
+            jtype = m.jnt_type[j]
+            adr = m.jnt_dofadr[j]
+            if jtype == M.FREE:
+                for k in range(3):
+                    cdof_dot[adr + k] = jnp.zeros(6, dtype)
+                    v = v + cdof[adr + k] * qvel[adr + k]
+                rot = range(adr + 3, adr + 6)
+            elif jtype == M.BALL:
+                rot = range(adr, adr + 3)
+            else:
+                cdof_dot[adr] = pm.motion_cross(v, cdof[adr])
+                v = v + cdof[adr] * qvel[adr]
+                continue
+            for k in rot:
+                cdof_dot[k] = pm.motion_cross(v, cdof[k])
+            for k in rot:
+                v = v + cdof[k] * qvel[k]
         cvel.append(v)
     cvel = jnp.stack(cvel)
     cdof_dot = (jnp.stack(cdof_dot) if m.nv

@@ -16,8 +16,11 @@ if '--xla_force_host_platform_device_count' not in os.environ['XLA_FLAGS']:
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
-jax.config.update('jax_compilation_cache_dir', '/tmp/jax_test_cache')
-jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+# NOTE: the persistent compilation cache is deliberately NOT enabled for
+# CPU test runs. On this host the XLA:CPU executable serializer segfaults
+# in compilation_cache.put_executable_and_time for some large AOT
+# programs (reproduced twice with a fresh cache dir; the loader also
+# warns about machine-feature mismatches like +prefer-no-scatter). TPU
+# executables serialize fine — bench.py keeps its cache.
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

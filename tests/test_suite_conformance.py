@@ -15,11 +15,13 @@ import pytest
 
 from mujoco_mbrl_tpu import suite
 
-# Domains whose XLA compiles take minutes on CPU; their full conformance
-# runs only with RUN_HEAVY=1 (they still get load/spec smoke tests below).
-_HEAVY_DOMAINS = frozenset(
-    {'humanoid', 'manipulator', 'finger', 'fish', 'ball_in_cup', 'cheetah',
-     'quadruped', 'humanoid_cmu', 'stacker'})
+# Round 1 gated 9 domains behind RUN_HEAVY because of multi-minute
+# XLA:CPU compiles. After the batched constraint assembly + persistent
+# compilation cache those now compile in ~10-60 s each, so the default
+# run covers 17/18 domains. humanoid_cmu (62-dof chain, ~150 s per
+# program, several programs per conformance case) remains gated: run
+# RUN_HEAVY=1 or use the TPU backend, where it compiles in ~20 s.
+_HEAVY_DOMAINS = frozenset({'humanoid_cmu'})
 _RUN_HEAVY = os.environ.get('RUN_HEAVY', '') == '1'
 
 ALL_TASKS = tuple((d, t) for d, t in suite.all_tasks()
