@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 
 def build_bench(task: str, B: int, K: int, H: int, cem_iters: int,
-                steps: int):
+                steps: int, sampler: str = 'normal'):
     from mujoco_mbrl_tpu import models, planners, suite
     from mujoco_mbrl_tpu.ops import mlp_sample_rollout_costs
 
@@ -61,7 +61,7 @@ def build_bench(task: str, B: int, K: int, H: int, cem_iters: int,
         if obs_dim + act_dim >= 16:
             scf = lambda seed, mean, std: mlp_sample_rollout_costs(
                 params, seed, obs, mean, std, goal, weights,
-                num_candidates=K)
+                num_candidates=K, sampler=sampler)
         else:
             scf = None
         traj = planners.cem_batched(
@@ -145,6 +145,11 @@ def main():
                         '(planners.py:202-209); 3 CEM iterations is '
                         'already a strictly stronger planner per step.')
     p.add_argument('--steps', type=int, default=10)
+    p.add_argument('--sampler', default='normal',
+                   choices=('normal', 'triangular'),
+                   help='in-kernel candidate sampler; triangular '
+                        '(Irwin-Hall 2, unit variance) avoids Box-Muller '
+                        'transcendentals on the VPU')
     p.add_argument('--repeats', type=int, default=3)
     p.add_argument('--cpu', action='store_true')
     args = p.parse_args()
@@ -168,7 +173,7 @@ def main():
 
     run, (params, state0, key) = build_bench(
         args.task, args.envs, args.candidates, args.horizon,
-        args.cem_iters, args.steps)
+        args.cem_iters, args.steps, args.sampler)
 
     # compile + warmup
     out = run(params, state0, key)

@@ -257,7 +257,7 @@ def _sample_kernel(seed_ref, s0_ref, mean_ref, std_ref, w1sT_ref, w1aT_ref,
                    wvec_ref, cost_ref, act_ref, *, horizon: int,
                    alpha_state: float, alpha_action: float,
                    action_low: float, action_high: float,
-                   antithetic: bool = True):
+                   antithetic: bool = True, sampler: str = 'normal'):
     i = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0] + i)
     s = s0_ref[0]                                     # (sd, K)
@@ -266,19 +266,25 @@ def _sample_kernel(seed_ref, s0_ref, mean_ref, std_ref, w1sT_ref, w1aT_ref,
 
     def body(t, carry):
         s, acc = carry
-        # Box-Muller normal from two uint32 draws, in (ad, K) lanes;
-        # int32 view * 2^-32 + 0.5 maps bits uniformly onto [0, 1).
         # Antithetic halves: z for the first K/2 lanes, -z mirrored for
-        # the rest — half the log/cos/sqrt transcendentals (the VPU-bound
-        # part of this kernel) and lower CEM estimator variance.
+        # the rest — half the sampling work (the VPU-bound part of this
+        # kernel) and lower CEM estimator variance.
         Kz = K // 2 if antithetic else K
         u_bits = pltpu.bitcast(pltpu.prng_random_bits((2 * ad, Kz)),
                                jnp.int32)
+        # int32 view * 2^-32 + 0.5 maps bits uniformly onto [0, 1)
         u = u_bits.astype(jnp.float32) * (1.0 / 4294967296.0) + 0.5
-        u1 = jnp.clip(u[:ad], 1e-7, 1.0)
-        u2 = u[ad:]
-        z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
-            (2.0 * np.pi) * u2)
+        if sampler == 'triangular':
+            # Irwin-Hall(2) scaled to unit variance: zero transcendentals
+            # (Box-Muller's log/cos/sqrt dominate this kernel's VPU time).
+            # CEM needs only a symmetric unimodal proposal with the
+            # requested std; the refit statistics stay exact.
+            z = (u[:ad] + u[ad:] - 1.0) * 2.4494897  # sqrt(6): unit var
+        else:
+            u1 = jnp.clip(u[:ad], 1e-7, 1.0)
+            u2 = u[ad:]
+            z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
+                (2.0 * np.pi) * u2)
         if antithetic:
             z = jnp.concatenate([z, -z], axis=1)
         a = jnp.clip(mean_ref[0, t][:, None] + std_ref[0, t][:, None] * z,
@@ -316,7 +322,8 @@ def _sample_kernel_multi(seed_ref, s0_ref, mean_ref, std_ref, w1sT_ref,
                          horizon: int, alpha_state: float,
                          alpha_action: float, action_low: float,
                          action_high: float, antithetic: bool,
-                         group: int, k_per_env: int):
+                         group: int, k_per_env: int,
+                         sampler: str = 'normal'):
     """G-envs-per-program variant: candidates of `group` envs share each
     MLP matmul, so the MXU streams (hidden, G*K)-lane passes instead of G
     separate (hidden, K) ones.
@@ -340,9 +347,12 @@ def _sample_kernel_multi(seed_ref, s0_ref, mean_ref, std_ref, w1sT_ref,
         u_bits = pltpu.bitcast(pltpu.prng_random_bits((2 * ad, Nz)),
                                jnp.int32)
         u = u_bits.astype(jnp.float32) * (1.0 / 4294967296.0) + 0.5
-        u1 = jnp.clip(u[:ad], 1e-7, 1.0)
-        u2 = u[ad:]
-        z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos((2.0 * np.pi) * u2)
+        if sampler == 'triangular':
+            z = (u[:ad] + u[ad:] - 1.0) * 2.4494897
+        else:
+            u1 = jnp.clip(u[:ad], 1e-7, 1.0)
+            u2 = u[ad:]
+            z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos((2.0 * np.pi) * u2)
         if antithetic:
             z = jnp.concatenate([z, -z], axis=1)
         mean_x = jnp.concatenate(
@@ -383,7 +393,7 @@ def _sample_kernel_multi(seed_ref, s0_ref, mean_ref, std_ref, w1sT_ref,
 @functools.partial(jax.jit, static_argnames=(
     'num_candidates', 'alpha_state', 'alpha_action', 'action_low',
     'action_high', 'interpret', 'compute_dtype', 'antithetic',
-    'envs_per_program'))
+    'envs_per_program', 'sampler'))
 def mlp_sample_rollout_costs(params, seed, s0, mean, std, goal, weights,
                              num_candidates: int, normalizers=None,
                              alpha_state: float = 0.4,
@@ -393,13 +403,17 @@ def mlp_sample_rollout_costs(params, seed, s0, mean, std, goal, weights,
                              interpret: bool = False,
                              compute_dtype=None,
                              antithetic: bool = True,
-                             envs_per_program: int = 1):
+                             envs_per_program: int = 1,
+                             sampler: str = 'normal'):
     """Sample + roll out + cost K candidates per env, fully in-kernel.
 
     Args:
       seed: int32 scalar; each env program folds in its grid index.
       s0: (B, sd) per-env initial states.
       mean, std: (B, H, ad) CEM proposal statistics.
+      sampler: 'normal' (Box-Muller) or 'triangular' (Irwin-Hall(2)
+        scaled to unit variance — no transcendentals, for VPU-bound
+        configs; CEM refit statistics are distribution-agnostic).
     Returns:
       costs (B, K) float32 and actions (B, H, ad, K) — the kernel's own
       PRNG stream (distinct from jax.random but deterministic in `seed`).
@@ -412,7 +426,7 @@ def mlp_sample_rollout_costs(params, seed, s0, mean, std, goal, weights,
         return _sample_multi(params, seed, s0, mean, std, goal, weights,
                              num_candidates, normalizers, alpha_state,
                              alpha_action, action_low, action_high,
-                             compute_dtype, antithetic, G)
+                             compute_dtype, antithetic, G, sampler)
     w1, b1, w2, b2, w3, b3 = _fold_normalizers(params, normalizers)
     if compute_dtype is not None:
         # bf16 MLP weights/activations: the matmuls run at the MXU's
@@ -426,7 +440,7 @@ def mlp_sample_rollout_costs(params, seed, s0, mean, std, goal, weights,
     kern = functools.partial(
         _sample_kernel, horizon=H, alpha_state=alpha_state,
         alpha_action=alpha_action, action_low=action_low,
-        action_high=action_high, antithetic=antithetic)
+        action_high=action_high, antithetic=antithetic, sampler=sampler)
     full2 = lambda i: (0, 0)
     costs, actions = pl.pallas_call(
         kern,
@@ -474,7 +488,8 @@ def mlp_sample_rollout_costs(params, seed, s0, mean, std, goal, weights,
 
 def _sample_multi(params, seed, s0, mean, std, goal, weights,
                   num_candidates, normalizers, alpha_state, alpha_action,
-                  action_low, action_high, compute_dtype, antithetic, G):
+                  action_low, action_high, compute_dtype, antithetic, G,
+                  sampler='normal'):
     B, sd = s0.shape
     _, H, ad = mean.shape
     Kp = ((num_candidates + 127) // 128) * 128
@@ -491,7 +506,7 @@ def _sample_multi(params, seed, s0, mean, std, goal, weights,
         _sample_kernel_multi, horizon=H, alpha_state=alpha_state,
         alpha_action=alpha_action, action_low=action_low,
         action_high=action_high, antithetic=antithetic, group=G,
-        k_per_env=Kp)
+        k_per_env=Kp, sampler=sampler)
     full2 = lambda i: (0, 0)
     # s0 expanded to the grouped-lane layout: env g's candidates occupy
     # lanes [g*Kp, (g+1)*Kp) of its group's program
