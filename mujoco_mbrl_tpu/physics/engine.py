@@ -36,7 +36,7 @@ from . import solver as solver_mod
 # --------------------------------------------------------------------------
 
 def forward(m: M.Model, state: M.State, ctrl: jnp.ndarray,
-            contact_fn=None) -> M.Data:
+            contact_fn=None, acc_stage: bool = True) -> M.Data:
     """Full forward pass: kinematics -> forces -> constrained qacc.
 
     Constraints = joint limits + frictional contacts, assembled into one
@@ -49,13 +49,23 @@ def forward(m: M.Model, state: M.State, ctrl: jnp.ndarray,
     indefinite near singular configurations (Cholesky -> NaN). Physics is
     precision-critical; the planner/model matmuls elsewhere keep the fast
     default.
+
+    ``acc_stage=False`` computes only the position/velocity stages
+    (mj_step1's scope: kinematics through bias/passive forces plus
+    contact geometry) and returns zeros for the acceleration-stage
+    fields (qacc, actuator/constraint forces, contact_force, act_dot).
+    Environment observation passes use this for tasks that never read
+    acceleration-stage data (suite/control.py) — it skips the actuation
+    model and the whole constraint solve, the expensive tail of the
+    redundant per-control-step observation forward flagged in round 1
+    (VERDICT "double forward", rl/control step reuse).
     """
     with jax.default_matmul_precision('highest'):
-        return _forward(m, state, ctrl, contact_fn)
+        return _forward(m, state, ctrl, contact_fn, acc_stage=acc_stage)
 
 
 def _forward(m: M.Model, state: M.State, ctrl: jnp.ndarray,
-             contact_fn=None) -> M.Data:
+             contact_fn=None, acc_stage: bool = True) -> M.Data:
     meta = smooth.tree_meta(m)
     qpos, qvel = state.qpos, state.qvel
 
@@ -81,6 +91,34 @@ def _forward(m: M.Model, state: M.State, ctrl: jnp.ndarray,
             or float(np.asarray(m.opt.viscosity)) > 0):
         qfrc_passive = qfrc_passive + smooth.fluid_force(
             m, xipos, xquat, cvel, cdof, meta)
+    contact = None
+    if not (m.opt.disableflags & M.DSBL_CONTACT):
+        pairs = collision.candidate_pairs(
+            m, include_geom_geom=m.opt.enable_geom_geom_contacts)
+        if pairs:
+            contact = collision.detect(m, geom_xpos, geom_xmat, pairs)
+    n_con = len(contact.geom1) if contact is not None else 0
+
+    if not acc_stage:
+        z = jnp.zeros_like(qvel)
+        return M.Data(
+            xpos=xpos, xquat=xquat, xipos=xipos, ximat=xmat,
+            geom_xpos=geom_xpos, geom_xmat=geom_xmat, site_xpos=site_xpos,
+            xanchor=xanchor, xaxis=xaxis, cdof=cdof, cvel=cvel,
+            qM=qM, qfrc_bias=qfrc_bias, qfrc_passive=qfrc_passive,
+            qfrc_actuator=z, qfrc_constraint=z, qacc=z,
+            actuator_force=jnp.zeros((m.nu,), qpos.dtype),
+            contact_dist=(contact.dist if contact is not None
+                          else jnp.zeros((0,), qpos.dtype)),
+            contact_pos=(contact.pos if contact is not None
+                         else jnp.zeros((0, 3), qpos.dtype)),
+            contact_force=jnp.zeros((n_con, 3), qpos.dtype),
+            act_dot=(jnp.zeros((m.na,), qpos.dtype) if m.na
+                     else jnp.zeros((0,), qpos.dtype)),
+            cdof_dot=cdof_dot,
+            contact_frame=(contact.frame if contact is not None
+                           else jnp.zeros((0, 3, 3), qpos.dtype)))
+
     actuator_force, qfrc_actuator, act_dot = smooth.actuation(
         m, qpos, qvel, ctrl, state.act)
 
@@ -88,21 +126,12 @@ def _forward(m: M.Model, state: M.State, ctrl: jnp.ndarray,
     qM_chol = jax.scipy.linalg.cho_factor(qM)
     qacc_smooth = jax.scipy.linalg.cho_solve(qM_chol, qfrc_smooth)
 
-    contact = None
-    if not (m.opt.disableflags & M.DSBL_CONTACT):
-        pairs = collision.candidate_pairs(
-            m, include_geom_geom=m.opt.enable_geom_geom_contacts)
-        if pairs:
-            contact = collision.detect(m, geom_xpos, geom_xmat, pairs)
-
     cs = solver_mod.assemble(m, meta, qpos, qvel, cdof, contact,
                              site_xpos=site_xpos)
     solve_fn = (solver_mod.solve_apgd if m.opt.solver == 'apgd'
                 else solver_mod.solve)
     qfrc_constraint, f_rows = solve_fn(m, cs, qM_chol, qacc_smooth)
     qacc = qacc_smooth + jax.scipy.linalg.cho_solve(qM_chol, qfrc_constraint)
-
-    n_con = len(contact.geom1) if contact is not None else 0
     return M.Data(
         xpos=xpos, xquat=xquat, xipos=xipos, ximat=xmat,
         geom_xpos=geom_xpos, geom_xmat=geom_xmat, site_xpos=site_xpos,

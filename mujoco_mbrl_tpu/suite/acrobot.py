@@ -50,6 +50,10 @@ _TARGET_RADIUS = 0.2
 
 class Balance(base.Task):
     """Swing up and balance the unactuated-shoulder double pendulum."""
+    # observation/reward read only position/velocity-stage Data
+    # -> the per-step observation forward skips the constraint
+    # solve (engine.forward acc_stage=False)
+    OBSERVES_ACC = False
 
     def __init__(self, sparse: bool):
         self._sparse = sparse

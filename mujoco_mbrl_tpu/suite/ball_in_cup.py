@@ -69,6 +69,10 @@ _XML = """
 
 class BallInCup(base.Task):
     """Swing the ball into the cup; sparse reward."""
+    # observation/reward read only position/velocity-stage Data
+    # -> the per-step observation forward skips the constraint
+    # solve (engine.forward acc_stage=False)
+    OBSERVES_ACC = False
 
     _INIT_ATTEMPTS = 8
 

@@ -21,6 +21,16 @@ from ..physics import make_state
 class Task:
     """Base task: zero-randomization episode init, pass-through actions."""
 
+    # Whether get_observation / get_reward / get_termination read any
+    # acceleration-stage Data field (qacc, actuator/constraint forces,
+    # contact_force via touch/force/torque/accelerometer sensors). Tasks
+    # that only read position/velocity-stage products set this False so
+    # the per-control-step observation forward skips the actuation model
+    # and constraint solve (engine.forward(acc_stage=False)) — the
+    # expensive tail of the redundant observation pass. Default True:
+    # correct for any task, just not the fast path.
+    OBSERVES_ACC = True
+
     def initialize_episode(self, model: M.Model,
                            key: jax.Array) -> Tuple[M.State, Any]:
         return make_state(model), ()

@@ -55,6 +55,10 @@ def _make_model_xml(n_poles: int = 1) -> str:
 
 class Balance(base.Task):
     """Balance/swing up the pole(s); smooth or sparse reward."""
+    # observation/reward read only position/velocity-stage Data
+    # -> the per-step observation forward skips the constraint
+    # solve (engine.forward acc_stage=False)
+    OBSERVES_ACC = False
 
     _CART_RANGE = (-.25, .25)
     _ANGLE_COSINE_RANGE = (.995, 1)

@@ -93,6 +93,10 @@ _XML = """
 
 class Cheetah(base.Task):
     """Train a running cheetah (reward on horizontal CoM speed)."""
+    # observation/reward read only position/velocity-stage Data
+    # -> the per-step observation forward skips the constraint
+    # solve (engine.forward acc_stage=False)
+    OBSERVES_ACC = False
 
     def initialize_episode(self, model, key):
         # limited joints uniform in range, then 200 settling steps with

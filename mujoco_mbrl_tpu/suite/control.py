@@ -116,6 +116,8 @@ class Environment:
         else:
             self._max_steps = int(round(time_limit / control_timestep))
         self._contact_fn = contact_fn
+        # pv-only observation fast path (see base.Task.OBSERVES_ACC)
+        self._obs_acc = bool(getattr(task, 'OBSERVES_ACC', True))
 
     # -- static info -----------------------------------------------------
     @property
@@ -174,7 +176,8 @@ class Environment:
             self._task, 'before_step') else action
         phys = engine.substep(m, state.physics, ctrl, self._n_sub_steps,
                               self._contact_fn)
-        data = engine.forward(m, phys, ctrl, self._contact_fn)
+        data = engine.forward(m, phys, ctrl, self._contact_fn,
+                              acc_stage=self._obs_acc)
         obs = self._task.get_observation(m, phys, data)
         reward = self._task.get_reward(m, phys, data, ctrl)
         step_count = state.step_count + 1

@@ -92,6 +92,10 @@ _XML = """
 
 
 class _FishTask(base.Task):
+    # observation/reward read only position/velocity-stage Data
+    # -> the per-step observation forward skips the constraint
+    # solve (engine.forward acc_stage=False)
+    OBSERVES_ACC = False
     def _joint_qpos(self, model, phys):
         return jnp.stack([phys.qpos[model.jnt_qposadr[
             model.names['joint'][j]]] for j in _JOINTS])

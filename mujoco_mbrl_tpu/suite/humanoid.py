@@ -171,6 +171,10 @@ _XML = """
 
 class Humanoid(base.Task):
     """Stand / move at target CoM speed (humanoid.py Humanoid)."""
+    # observation/reward read only position/velocity-stage Data
+    # -> the per-step observation forward skips the constraint
+    # solve (engine.forward acc_stage=False)
+    OBSERVES_ACC = False
 
     _INIT_ATTEMPTS = 8
 

@@ -274,6 +274,10 @@ def _make_xml() -> str:
 
 class HumanoidCMU(base.Task):
     """Stand or move at a target speed (humanoid_CMU.py:112-179)."""
+    # observation/reward read only position/velocity-stage Data
+    # -> the per-step observation forward skips the constraint
+    # solve (engine.forward acc_stage=False)
+    OBSERVES_ACC = False
 
     def __init__(self, move_speed: float):
         self._move_speed = move_speed

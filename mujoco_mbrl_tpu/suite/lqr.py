@@ -62,6 +62,10 @@ def _make_model_xml(n_bodies: int, n_actuators: int,
 
 class LQRLevel(base.Task):
     """Quadratic state+control cost on a linear system (lqr.py LQRLevel)."""
+    # observation/reward read only position/velocity-stage Data
+    # -> the per-step observation forward skips the constraint
+    # solve (engine.forward acc_stage=False)
+    OBSERVES_ACC = False
 
     _TERMINAL_TOL = 1e-6
 

@@ -44,6 +44,10 @@ _XML = """
 
 class SwingUp(base.Task):
     """Swing up and balance the pole."""
+    # observation/reward read only position/velocity-stage Data
+    # -> the per-step observation forward skips the constraint
+    # solve (engine.forward acc_stage=False)
+    OBSERVES_ACC = False
 
     def initialize_episode(self, model, key):
         qpos = jnp.zeros(model.nq).at[0].set(

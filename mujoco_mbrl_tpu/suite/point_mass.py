@@ -58,6 +58,10 @@ _XML = """
 
 class PointMass(base.Task):
     """Reach the target with smooth reward."""
+    # observation/reward read only position/velocity-stage Data
+    # -> the per-step observation forward skips the constraint
+    # solve (engine.forward acc_stage=False)
+    OBSERVES_ACC = False
 
     def __init__(self, randomize_gains: bool):
         self._randomize_gains = randomize_gains

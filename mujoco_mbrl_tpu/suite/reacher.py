@@ -55,6 +55,10 @@ _XML = """
 
 class Reacher(base.Task):
     """Reach the randomized target."""
+    # observation/reward read only position/velocity-stage Data
+    # -> the per-step observation forward skips the constraint
+    # solve (engine.forward acc_stage=False)
+    OBSERVES_ACC = False
 
     def __init__(self, target_size: float):
         self._target_size = target_size

@@ -84,6 +84,10 @@ def _make_model_xml(n_bodies: int) -> str:
 
 class Swimmer(base.Task):
     """Swim the nose to the randomized target."""
+    # observation/reward read only position/velocity-stage Data
+    # -> the per-step observation forward skips the constraint
+    # solve (engine.forward acc_stage=False)
+    OBSERVES_ACC = False
 
     def initialize_episode(self, model, key):
         k1, k2, k3 = jax.random.split(key, 3)

@@ -87,6 +87,10 @@ _XML = """
 
 class PlanarWalker(base.Task):
     """Stand upright (+optionally move at a target horizontal speed)."""
+    # observation/reward read only position/velocity-stage Data
+    # -> the per-step observation forward skips the constraint
+    # solve (engine.forward acc_stage=False)
+    OBSERVES_ACC = False
 
     def __init__(self, move_speed: float):
         self._move_speed = move_speed
