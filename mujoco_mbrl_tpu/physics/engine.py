@@ -65,7 +65,8 @@ def forward(m: M.Model, state: M.State, ctrl: jnp.ndarray,
 
 
 def _forward(m: M.Model, state: M.State, ctrl: jnp.ndarray,
-             contact_fn=None, acc_stage: bool = True) -> M.Data:
+             contact_fn=None, acc_stage: bool = True,
+             need_qacc: bool = True) -> M.Data:
     meta = smooth.tree_meta(m)
     qpos, qvel = state.qpos, state.qvel
 
@@ -131,7 +132,15 @@ def _forward(m: M.Model, state: M.State, ctrl: jnp.ndarray,
     solve_fn = (solver_mod.solve_apgd if m.opt.solver == 'apgd'
                 else solver_mod.solve)
     qfrc_constraint, f_rows = solve_fn(m, cs, qM_chol, qacc_smooth)
-    qacc = qacc_smooth + jax.scipy.linalg.cho_solve(qM_chol, qfrc_constraint)
+    if need_qacc:
+        qacc = (qacc_smooth
+                + jax.scipy.linalg.cho_solve(qM_chol, qfrc_constraint))
+    else:
+        # Euler integration recomputes the velocity update from the raw
+        # force terms with implicit damping (_euler) and never reads
+        # Data.qacc; skipping the constrained-qacc back-substitution
+        # saves one triangular solve pair per substep.
+        qacc = qacc_smooth
     return M.Data(
         xpos=xpos, xquat=xquat, xipos=xipos, ximat=xmat,
         geom_xpos=geom_xpos, geom_xmat=geom_xmat, site_xpos=site_xpos,
@@ -188,7 +197,8 @@ def integrate_pos(m: M.Model, qpos: jnp.ndarray, qvel: jnp.ndarray,
 
 def _euler(m: M.Model, state: M.State, ctrl, contact_fn) -> M.State:
     h = m.opt.timestep.astype(state.qpos.dtype)
-    d = forward(m, state, ctrl, contact_fn)
+    with jax.default_matmul_precision('highest'):
+        d = _forward(m, state, ctrl, contact_fn, need_qacc=False)
     # Implicit damping: v' = v + h*(M + h*B)^-1 * f_explicit  (mj_Euler).
     f_total = (d.qfrc_passive + d.qfrc_actuator - d.qfrc_bias
                + d.qfrc_constraint)
