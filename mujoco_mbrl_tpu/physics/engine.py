@@ -66,7 +66,7 @@ def forward(m: M.Model, state: M.State, ctrl: jnp.ndarray,
 
 def _forward(m: M.Model, state: M.State, ctrl: jnp.ndarray,
              contact_fn=None, acc_stage: bool = True,
-             need_qacc: bool = True) -> M.Data:
+             need_qacc: bool = True, warm_f=None) -> M.Data:
     meta = smooth.tree_meta(m)
     qpos, qvel = state.qpos, state.qvel
 
@@ -131,7 +131,8 @@ def _forward(m: M.Model, state: M.State, ctrl: jnp.ndarray,
                              site_xpos=site_xpos)
     solve_fn = (solver_mod.solve_apgd if m.opt.solver == 'apgd'
                 else solver_mod.solve)
-    qfrc_constraint, f_rows = solve_fn(m, cs, qM_chol, qacc_smooth)
+    qfrc_constraint, f_rows = solve_fn(m, cs, qM_chol, qacc_smooth,
+                                       f0=warm_f)
     if need_qacc:
         qacc = (qacc_smooth
                 + jax.scipy.linalg.cho_solve(qM_chol, qfrc_constraint))
@@ -157,7 +158,8 @@ def _forward(m: M.Model, state: M.State, ctrl: jnp.ndarray,
                                                 qpos.dtype),
         act_dot=act_dot, cdof_dot=cdof_dot,
         contact_frame=(contact.frame if contact is not None
-                       else jnp.zeros((0, 3, 3), qpos.dtype)))
+                       else jnp.zeros((0, 3, 3), qpos.dtype)),
+        efc_force=f_rows)
 
 
 # --------------------------------------------------------------------------
@@ -195,10 +197,14 @@ def integrate_pos(m: M.Model, qpos: jnp.ndarray, qvel: jnp.ndarray,
     return out
 
 
-def _euler(m: M.Model, state: M.State, ctrl, contact_fn) -> M.State:
+def _euler(m: M.Model, state: M.State, ctrl, contact_fn,
+           warm_f=None) -> Tuple[M.State, Optional[jnp.ndarray]]:
+    """One semi-implicit Euler step; also returns the constraint row
+    forces so the substep loop can warm-start the next solve."""
     h = m.opt.timestep.astype(state.qpos.dtype)
     with jax.default_matmul_precision('highest'):
-        d = _forward(m, state, ctrl, contact_fn, need_qacc=False)
+        d = _forward(m, state, ctrl, contact_fn, need_qacc=False,
+                     warm_f=warm_f)
     # Implicit damping: v' = v + h*(M + h*B)^-1 * f_explicit  (mj_Euler).
     f_total = (d.qfrc_passive + d.qfrc_actuator - d.qfrc_bias
                + d.qfrc_constraint)
@@ -209,7 +215,8 @@ def _euler(m: M.Model, state: M.State, ctrl, contact_fn) -> M.State:
     qpos = integrate_pos(m, state.qpos, qvel, h)
     act = (state.act + h * d.act_dot if m.na and state.act is not None
            else state.act)
-    return M.State(qpos=qpos, qvel=qvel, time=state.time + h, act=act)
+    return (M.State(qpos=qpos, qvel=qvel, time=state.time + h, act=act),
+            d.efc_force)
 
 
 _RK4_A = ((0.5,), (0.0, 0.5), (0.0, 0.0, 1.0))
@@ -250,7 +257,21 @@ def step(m: M.Model, state: M.State, ctrl: jnp.ndarray,
     with jax.default_matmul_precision('highest'):
         if m.opt.integrator == M.RK4:
             return _rk4(m, state, ctrl, contact_fn)
-        return _euler(m, state, ctrl, contact_fn)
+        return _euler(m, state, ctrl, contact_fn)[0]
+
+
+def step_warm(m: M.Model, state: M.State, ctrl: jnp.ndarray,
+              contact_fn=None, warm_f=None
+              ) -> Tuple[M.State, Optional[jnp.ndarray]]:
+    """`step` that threads constraint row forces for solver warm starts.
+
+    Returns (state, efc_force). Only the Euler path warm-starts (RK4's
+    four stage solves see different configurations; no suite RK4 model
+    is contact-rich enough to benefit)."""
+    with jax.default_matmul_precision('highest'):
+        if m.opt.integrator == M.RK4:
+            return _rk4(m, state, ctrl, contact_fn), None
+        return _euler(m, state, ctrl, contact_fn, warm_f=warm_f)
 
 
 class PhysicsError(RuntimeError):
@@ -294,9 +315,24 @@ def n_substeps(m: M.Model, control_timestep: float) -> int:
 
 def substep(m: M.Model, state: M.State, ctrl: jnp.ndarray, n: int,
             contact_fn=None) -> M.State:
-    """n physics steps under constant ctrl, as a lax.scan."""
+    """n physics steps under constant ctrl, as a lax.scan.
+
+    With ``m.opt.solver_warmstart`` (default, MuJoCo-faithful) each
+    substep's constraint solve starts from the previous substep's row
+    forces: the first substep runs cold, the remaining n-1 scan with the
+    force vector in the carry (row layout is static per model)."""
     if n == 1:
         return step(m, state, ctrl, contact_fn)
+
+    if m.opt.solver_warmstart and m.opt.integrator != M.RK4:
+        state, f = step_warm(m, state, ctrl, contact_fn)
+
+        def body_w(carry, _):
+            s, f = carry
+            return step_warm(m, s, ctrl, contact_fn, warm_f=f), None
+
+        (out, _), _ = jax.lax.scan(body_w, (state, f), None, length=n - 1)
+        return out
 
     def body(s, _):
         return step(m, s, ctrl, contact_fn), None

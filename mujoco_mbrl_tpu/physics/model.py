@@ -83,6 +83,13 @@ class Option:
     # (hopper nose-thigh, walker leg-leg) and breaks trajectory parity.
     enable_geom_geom_contacts: bool = struct.field(pytree_node=False,
                                                    default=True)
+    # Warm-start the constraint solver from the previous substep's row
+    # forces (mjModel.opt: warmstart is MuJoCo's default). Constraint row
+    # layout is static per compiled model, so the force vector threads
+    # through the substep scan carry; stale rows are masked by the new
+    # step's active set. Cuts the iterations ill-conditioned scenes need
+    # to converge (quadruped/stacker geom-geom stacks).
+    solver_warmstart: bool = struct.field(pytree_node=False, default=True)
 
 
 @struct.dataclass
@@ -308,6 +315,8 @@ class Data:
     act_dot: Optional[jnp.ndarray] = None  # (na,) activation derivatives
     cdof_dot: Optional[jnp.ndarray] = None  # (nv, 6) for IMU-style sensors
     contact_frame: Optional[jnp.ndarray] = None  # (C, 3, 3) rows n, t1, t2
+    efc_force: Optional[jnp.ndarray] = None  # (nr,) constraint row forces
+    #   (mjData.efc_force); feeds the next substep's solver warm start
 
 
 def xmat_of(data: Data, model: Model) -> jnp.ndarray:

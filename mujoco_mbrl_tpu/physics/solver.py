@@ -371,8 +371,14 @@ def assemble(m: M.Model, meta, qpos, qvel, cdof,
 
 def solve(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
           qacc_smooth: jnp.ndarray,
-          iterations: Optional[int] = None) -> jnp.ndarray:
-    """PGS solve -> (qfrc_constraint (nv,), row forces f (nr,) or None)."""
+          iterations: Optional[int] = None,
+          f0: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """PGS solve -> (qfrc_constraint (nv,), row forces f (nr,) or None).
+
+    ``f0`` warm-starts the sweep from a previous solution (typically the
+    prior substep's efc_force); rows inactive in THIS step's constraint
+    set are masked out so stale forces cannot leak through.
+    """
     if cs is None:
         return jnp.zeros_like(qacc_smooth), None
     iterations = iterations or m.opt.solver_iterations
@@ -428,7 +434,10 @@ def solve(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
                 f = f.at[i0 + 2].set(ft2 * scale * cs.active[i0 + 2])
         return f
 
-    f0 = jnp.zeros((n_rows,), qacc_smooth.dtype)
+    if f0 is None:
+        f0 = jnp.zeros((n_rows,), qacc_smooth.dtype)
+    else:
+        f0 = f0 * cs.active
     f = jax.lax.fori_loop(0, iterations, sweep, f0)
     return cs.J.T @ f, f
 
@@ -450,7 +459,8 @@ def _row_structure(cs: ConstraintSet):
 
 def solve_apgd(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
                qacc_smooth: jnp.ndarray,
-               iterations: Optional[int] = None) -> jnp.ndarray:
+               iterations: Optional[int] = None,
+               f0: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Accelerated projected gradient descent on the dual QP.
 
     Solves the same problem as :func:`solve` —
@@ -537,7 +547,14 @@ def solve_apgd(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
             f = f.at[con0 + 2].set(ft2 * tscale)
         return f * cs.active
 
-    f0 = jnp.zeros((cs.J.shape[0],), dtype)
+    if f0 is None:
+        f0 = jnp.zeros((cs.J.shape[0],), dtype)
+    else:
+        # warm start: project the previous solution into the scaled,
+        # active-masked iteration space (f_s = f / s_inv; degenerate
+        # rows were dropped from the preconditioner and start at 0)
+        f0 = proj(jnp.where(s_inv > 0, f0 * cs.active /
+                            jnp.where(s_inv > 0, s_inv, 1.0), 0.0))
 
     def body(_, carry):
         f, y, theta = carry
