@@ -822,14 +822,16 @@ def parse(xml_string: str, dtype=np.float32) -> M.Model:
             integrator=integrator, disableflags=disableflags,
             cone=cone, impratio=impratio,
             solver_iterations=solver_iterations,
-            # APGD (dense batched matvecs, MXU-friendly) converges to the
-            # oracle solution on the pyramidal problem — all rows are
-            # simple non-negativity cones. The elliptic SOC blocks plus
-            # stiff tendon-equality rows (manipulator/stacker/finger)
-            # stall first-order projection: row-sweep PGS reproduces
-            # MuJoCo's solution there bit-for-bit (measured), so elliptic
-            # models default to it.
-            solver=('pgs' if cone == 'elliptic' else 'apgd')),
+            # APGD (dense batched matvecs, MXU-friendly) is the default
+            # everywhere. Round 1 fell back to row-sweep PGS on elliptic
+            # models (SOC blocks + stiff tendon-equality rows stalled
+            # first-order projection); with per-substep warm starting
+            # (Option.solver_warmstart) APGD passes the calibrated
+            # dm_control parity thresholds on those domains too
+            # (finger/manipulator parity + conformance, tests/
+            # test_parity_physics.py). PGS remains selectable per model
+            # for cross-validation.
+            solver='apgd'),
         nq=nq, nv=nv, nu=nu, nbody=nbody, njnt=njnt,
         ngeom=len(b.geoms), nsite=len(b.sites), ntendon=ntendon,
         body_parent=tuple(b.body_parent),
