@@ -103,7 +103,7 @@ class Environment:
 
     def __init__(self, model: M.Model, task, time_limit: float = float('inf'),
                  control_timestep: Optional[float] = None,
-                 contact_fn=None):
+                 contact_fn=None, max_reset_attempts: int = 1):
         self._model = model
         self._task = task
         if control_timestep is None:
@@ -118,6 +118,14 @@ class Environment:
         self._contact_fn = contact_fn
         # pv-only observation fast path (see base.Task.OBSERVES_ACC)
         self._obs_acc = bool(getattr(task, 'OBSERVES_ACC', True))
+        # Bad-init retry (composer/environment.py:308-318 analogue):
+        # under lockstep vmap a failed episode init cannot raise, so
+        # reset() draws up to N candidate inits (trace-time unroll) and
+        # keeps the first whose physics state is finite. N=1 keeps the
+        # single-attempt suite semantics with zero extra compute.
+        if max_reset_attempts < 1:
+            raise ValueError('max_reset_attempts must be >= 1')
+        self._max_reset_attempts = int(max_reset_attempts)
 
     # -- static info -----------------------------------------------------
     @property
@@ -154,6 +162,17 @@ class Environment:
     def reset(self, key: jnp.ndarray) -> Tuple[EnvState, TimeStep]:
         """Start a new episode (task randomization via explicit PRNG key)."""
         phys, params = self._task.initialize_episode(self._model, key)
+        for attempt in range(1, self._max_reset_attempts):
+            # keep the incumbent init unless it produced a non-finite /
+            # exploding state; otherwise fall through to a fresh draw
+            retry_key = jax.random.fold_in(key, attempt)
+            phys2, params2 = self._task.initialize_episode(
+                self._model, retry_key)
+            bad = engine.diverged(phys)
+            phys = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(bad, b, a), phys, phys2)
+            params = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(bad, b, a), params, params2)
         m = self._model_with(params)
         # settle kinematics (mirrors reset -> after_reset -> mj_forward)
         obs = self._observe(m, phys, params)
