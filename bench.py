@@ -58,11 +58,14 @@ def build_bench(task: str, B: int, K: int, H: int, cem_iters: int,
         # wins when the feature dims carry real MXU work; for very small
         # models (cartpole: 5+1 dims) the XLA scan path is faster — tile
         # padding dominates the kernel.
-        if obs_dim + act_dim >= 16:
+        from mujoco_mbrl_tpu.ops.cem_rollout import _supports_pallas
+        if obs_dim + act_dim >= 16 and _supports_pallas():
             scf = lambda seed, mean, std: mlp_sample_rollout_costs(
                 params, seed, obs, mean, std, goal, weights,
                 num_candidates=K, sampler=sampler)
         else:
+            # CPU (--cpu / no chip): the fused kernel's on-core PRNG has
+            # no CPU lowering; cem_batched falls back to the XLA scan path
             scf = None
         traj = planners.cem_batched(
             key, obs, model_fn, cost, horizon=H, action_dim=act_dim,
