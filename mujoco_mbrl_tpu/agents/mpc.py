@@ -179,7 +179,8 @@ class MPCAgent:
                  planner_kwargs: Optional[dict] = None,
                  train_epochs: int = 50, train_batch_size: int = 512,
                  num_initial_rollouts: int = 20,
-                 seed: int = 0):
+                 seed: int = 0,
+                 kernel_kwargs: Optional[dict] = None):
         self.environment = environment
         self.planner = planner
         self.model = model
@@ -191,6 +192,9 @@ class MPCAgent:
         self.writer = writer
         self.base_path = base_path
         self.planner_kwargs = planner_kwargs or {}
+        # Extra static options for the fused sampling kernel (TPU path):
+        # e.g. {'sampler': 'triangular'} or {'compute_dtype': jnp.bfloat16}
+        self.kernel_kwargs = kernel_kwargs or {}
         self.train_epochs = train_epochs
         self.train_batch_size = train_batch_size
         self.num_initial_rollouts = num_initial_rollouts
@@ -409,7 +413,7 @@ class GoalStateAgent(MPCAgent):
                     params, seed, obs_mat, mean, std, goal_state,
                     self.state_cost_weights, normalizers=norms,
                     alpha_action=self.action_cost_alpha,
-                    num_candidates=K)
+                    num_candidates=K, **self.kernel_kwargs)
             return build
 
         n = self.model.n
@@ -425,7 +429,7 @@ class GoalStateAgent(MPCAgent):
                         p_m, seed * n + mi, obs_mat, mean, std, goal_state,
                         self.state_cost_weights, normalizers=norms,
                         alpha_action=self.action_cost_alpha,
-                        num_candidates=K // n)
+                        num_candidates=K // n, **self.kernel_kwargs)
                     costs_m.append(c)       # (B, K/n)
                     actions_m.append(a)     # (B, H, ad, K/n)
                 # interleave members on the candidate axis: k = q*n + mi
