@@ -91,6 +91,78 @@ def build_bench(task: str, B: int, K: int, H: int, cem_iters: int,
     return jax.jit(run), (params, state0, jax.random.PRNGKey(2))
 
 
+def phase_breakdown(task: str, B: int, K: int, H: int, cem_iters: int,
+                    sampler: str):
+    """Time the plan and physics phases as separate jitted programs.
+
+    Reproducible evidence for the per-phase claims in README's
+    performance table: plan = one full CEM call (cem_iters fused-kernel
+    iterations + elite refits), physics = one control step (n_substeps
+    scanned physics steps + observation forward). Prints one JSON line.
+    """
+    run, (params, state0, key) = None, (None, None, None)  # noqa: F841
+    from mujoco_mbrl_tpu import models, planners, suite
+    from mujoco_mbrl_tpu.ops import mlp_sample_rollout_costs
+    from mujoco_mbrl_tpu.ops.cem_rollout import _supports_pallas
+
+    domain, task_name = task.rsplit('_', 1)
+    env = suite.load(domain, task_name)
+    state0, ts0 = jax.vmap(env.reset)(
+        jax.random.split(jax.random.PRNGKey(0), B))
+    obs_dim = suite.flatten_observation(
+        jax.tree_util.tree_map(lambda x: x[0], ts0.observation)).shape[0]
+    act_dim = env.model.nu
+    model = models.MLPDynamics(obs_dim, act_dim, hidden_units=50)
+    params = model.init(jax.random.PRNGKey(1))
+    goal = jnp.zeros(obs_dim).at[1].set(1.0)
+    weights = jnp.ones(obs_dim)
+    obs = jax.vmap(lambda s: suite.flatten_observation(
+        env._observe(env._model_with(s.params), s.physics,
+                     s.params)))(state0)
+
+    def timed(fn, *args, repeats=5):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = float('inf')
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # plan phase (full CEM call, as the agent runs it)
+    model_fn = lambda s, a: model.forward(params, s, a)
+    cost = lambda states, actions: (
+        models.smooth_abs_loss(states, goal, weights)
+        + models.cosh_loss(actions))
+    scf = None
+    if obs_dim + act_dim >= 16 and _supports_pallas():
+        scf = lambda seed, mean, std: mlp_sample_rollout_costs(
+            params, seed, obs, mean, std, goal, weights,
+            num_candidates=K, sampler=sampler)
+    plan = jax.jit(lambda key: planners.cem_batched(
+        key, obs, model_fn, cost, horizon=H, action_dim=act_dim,
+        num_candidates=K, num_elites=max(K // 10, 1),
+        num_iterations=cem_iters, sample_costs_fn=scf,
+        return_states=False).actions[0])
+    t_plan = timed(plan, jax.random.PRNGKey(2))
+
+    # physics phase (one control step: substeps + observation forward)
+    acts = jnp.zeros((B, act_dim))
+    phys = jax.jit(lambda s, a: jax.vmap(env.step)(s, a)[0])
+    t_phys = timed(phys, state0, acts)
+
+    total = t_plan + t_phys
+    print(json.dumps({
+        'metric': f'phase breakdown ({task}, {B} envs, CEM {K}x{H}'
+                  f'x{cem_iters}, sampler={sampler})',
+        'plan_ms': round(t_plan * 1e3, 2),
+        'plan_ms_per_cem_iter': round(t_plan * 1e3 / cem_iters, 2),
+        'physics_ms_per_control_step': round(t_phys * 1e3, 2),
+        'implied_env_steps_per_s': round(B / total, 1),
+    }))
+
+
 def selfcheck(task: str):
     """Assert the fused Pallas sampling kernel matches the XLA reference.
 
@@ -155,6 +227,9 @@ def main():
                         'transcendentals on the VPU')
     p.add_argument('--repeats', type=int, default=3)
     p.add_argument('--cpu', action='store_true')
+    p.add_argument('--phases', action='store_true',
+                   help='time plan/physics as separate jitted programs '
+                        'and print the per-phase JSON line instead')
     args = p.parse_args()
 
     if args.cpu:
@@ -164,11 +239,22 @@ def main():
     # (CEM kernel + contact physics fused into one scan) and its XLA
     # compile dominates cold-start; cache hits make repeat bench runs
     # (and the driver's round-end run) start in seconds.
-    try:
-        jax.config.update('jax_compilation_cache_dir', '/tmp/jax_bench_cache')
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
-    except Exception:
-        pass
+    # (TPU only: XLA:CPU executable serialization is unreliable on this
+    # host class — machine-feature mismatches on load, and the serializer
+    # can segfault; see tests/conftest.py.)
+    if not args.cpu:
+        try:
+            jax.config.update('jax_compilation_cache_dir',
+                              '/tmp/jax_bench_cache')
+            jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                              1.0)
+        except Exception:
+            pass
+
+    if args.phases:
+        phase_breakdown(args.task, args.envs, args.candidates,
+                        args.horizon, args.cem_iters, args.sampler)
+        return 0
 
     on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
     if on_tpu and not args.no_selfcheck:
