@@ -197,12 +197,15 @@ class EnvWrapper:
                        policy_init=None, height: int = 128,
                        width: int = 128, plane: str = 'xz',
                        extent: float = 2.5) -> Rollouts:
-        """Collect one rollout and write a debug video
-        (env_wrappers.py:149-159; GIF via the SDF renderer, see
-        utils.render — no ffmpeg in this environment).
+        """Collect one rollout and write a video (env_wrappers.py:149-159;
+        GIF — no ffmpeg in this environment).
 
-        Frames are rendered post-hoc by replaying the recorded physics
-        trajectory through FK, vmapped over timesteps on-device.
+        Like the reference (which renders MJCF camera 0), models with
+        cameras render through the camera-posed ray caster
+        (utils.raycast); camera-less models fall back to the SDF debug
+        renderer with the `plane`/`extent` framing. Frames are rendered
+        post-hoc by replaying the recorded physics trajectory through
+        FK, vmapped over timesteps on-device.
         """
         from ..physics import engine
         from ..utils import render as render_mod
@@ -236,16 +239,31 @@ class EnvWrapper:
 
         m = env._model_with(env_state.params)
 
-        def frame(qpos):
-            from ..physics import make_state
-            data = engine.forward(m, make_state(m, qpos=qpos),
-                                  jnp.zeros(m.nu))
-            return render_mod.render(m, data, height, width, plane=plane,
-                                     extent=extent)
+        if m.ncam > 0:
+            from ..utils.raycast import Camera
+            cam = Camera(m, height=height, width=width, camera_id=0)
 
-        imgs = jax.jit(jax.vmap(frame))(qposes)
+            def frame(qpos):
+                from ..physics import make_state
+                data = engine.forward(m, make_state(m, qpos=qpos),
+                                      jnp.zeros(m.nu), acc_stage=False)
+                return cam.render(data)
+
+            imgs = jax.jit(jax.vmap(frame))(qposes)
+            frames = np.asarray(
+                jnp.clip(imgs * 255.0, 0, 255).astype(jnp.uint8))
+        else:
+            def frame(qpos):
+                from ..physics import make_state
+                data = engine.forward(m, make_state(m, qpos=qpos),
+                                      jnp.zeros(m.nu), acc_stage=False)
+                return render_mod.render(m, data, height, width,
+                                         plane=plane, extent=extent)
+
+            imgs = jax.jit(jax.vmap(frame))(qposes)
+            frames = render_mod.render_to_uint8(imgs)
         rec = Recorder()
-        for f in render_mod.render_to_uint8(imgs):
+        for f in frames:
             rec.record_frame(f)
         if mp4path:
             rec.make_movie(mp4path)
