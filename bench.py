@@ -1,7 +1,8 @@
 """Benchmark: env-steps/s/chip with full CEM-MPC planning in the loop.
 
 Protocol follows BASELINE.md: batched envs each running a CEM plan
-(default 1000 candidates x 30-step horizon, 5 iterations) over a learned
+(default 1000 candidates x 30-step horizon, 3 iterations — the
+reference plans with a single random-shooting pass) over a learned
 MLP dynamics model every control step, plus the physics step itself —
 the complete per-step MPC workload of SURVEY §3.3, fused into one jitted
 scan. Reported metric: aggregate env-steps/s on one chip.

@@ -1,0 +1,207 @@
+"""Learning-curve comparison against the ACTUAL reference implementation.
+
+Runs the reference `src/mbrl` GoalStateAgent (torch CPU, from
+/root/reference, read-only import with small compat shims for
+torch>=2 / missing colorlog) and this framework's GoalStateAgent on the
+same task with a matched, shrunk configuration, and reports the
+per-iteration policy-rollout reward curves side by side
+(BASELINE.md "learning-curve parity within seed variance" row;
+VERDICT r1 item #1 tail).
+
+Rewards (engine ground truth) are the comparable metric — goal-state
+costs depend on each framework's independently sampled goals.
+
+Run:  python scripts/ref_compare.py [--task point_mass_easy]
+      [--iters 3] [--rollout-len 40] [--candidates 200] [--seeds 2]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+_CFG = None  # set in main()
+
+
+# ---------------------------------------------------------------------------
+# reference side (torch, /root/reference)
+# ---------------------------------------------------------------------------
+
+def _shim_reference_deps():
+    import logging
+    import types
+    import torch  # noqa: F401
+    import torch.autograd.gradcheck  # noqa: F401
+    gcm = sys.modules['torch.autograd.gradcheck']
+    if not hasattr(gcm, 'zero_gradients'):
+        def zero_gradients(x):
+            if hasattr(x, 'grad'):
+                if x.grad is not None:
+                    x.grad.detach_()
+                    x.grad.zero_()
+            else:
+                for e in x:
+                    zero_gradients(e)
+        gcm.zero_gradients = zero_gradients
+    if 'colorlog' not in sys.modules:
+        try:
+            import colorlog  # noqa: F401
+        except ImportError:
+            mod = types.ModuleType('colorlog')
+
+            class ColoredFormatter(logging.Formatter):
+                def __init__(self, fmt=None, *a, **kw):
+                    if fmt:
+                        fmt = (fmt.replace('%(log_color)s', '')
+                               .replace('%(reset)s', ''))
+                    super().__init__(fmt)
+            mod.ColoredFormatter = ColoredFormatter
+            sys.modules['colorlog'] = mod
+
+
+class _CaptureWriter:
+    """SummaryWriter stand-in recording scalars per tag."""
+
+    def __init__(self):
+        self.scalars = {}
+
+    def add_scalar(self, tag, value, step):
+        self.scalars.setdefault(tag, []).append((int(step), float(value)))
+
+    def add_histogram(self, *a, **k):
+        pass
+
+    def close(self):
+        pass
+
+
+def run_reference(task, seed):
+    _shim_reference_deps()
+    sys.path.insert(0, '/root/reference')
+    os.environ.setdefault('MUJOCO_GL', 'disabled')
+    import numpy as np
+    import torch
+    torch.manual_seed(seed)
+    np.random.seed(seed)
+    from src.mbrl.env_wrappers import EnvWrapper
+    from src.mbrl.agents import GoalStateAgent
+    from src.mbrl.planners import RandomShootingPlanner
+    from src.mbrl.models import Model, SmoothAbsLoss, CoshLoss
+    from src.mbrl.logger import logger as ref_logger
+    os.makedirs('/tmp/ref_compare_ref', exist_ok=True)
+    if getattr(ref_logger, '_logger', None) is None:
+        ref_logger.setup('ref', '/tmp/ref_compare_ref/ref.log', 'warn')
+
+    # headless: no GL backend here, so route the recorded rollout
+    # through the plain (render-free) path
+    EnvWrapper.record_rollout = (
+        lambda self, num_steps, get_action=None, mp4path=None, **kw:
+        self.get_rollout(num_steps, get_action, **kw))
+
+    domain, task_name = task.rsplit('_', 1)
+    env = EnvWrapper.load(domain, task_name)
+    model = Model(env.observation_dim, env.action_dim)
+    optimizer = torch.optim.Adam(model.parameters(), lr=0.01)
+    writer = _CaptureWriter()
+    w = env.get_goal_weights()
+    state_cost = SmoothAbsLoss(weights=w, goal_state=torch.zeros_like(w))
+    action_cost = CoshLoss()
+
+    # shrink the hard-coded planner population via defaults (the planner
+    # is used as a class; plan() reads defaults at call time)
+    RandomShootingPlanner.defaults = dict(
+        num_trajectories=_CFG.candidates)
+
+    agent = GoalStateAgent(
+        environment=env, planner=RandomShootingPlanner, model=model,
+        horizon=_CFG.horizon, optimizer=optimizer,
+        rollout_length=_CFG.rollout_len,
+        num_rollouts_per_iteration=_CFG.rollouts_per_iter,
+        num_train_iterations=_CFG.iters, writer=writer,
+        action_cost=action_cost, state_cost=state_cost,
+        base_path='/tmp/ref_compare_ref')
+    agent.num_initial_rollouts = _CFG.initial_rollouts
+    t0 = time.time()
+    agent.train()
+    wall = time.time() - t0
+    def series(tag):
+        return [v for _, v in sorted(writer.scalars.get(tag, []))]
+    return {'rewards': series('AvgRolloutRewards/policy'),
+            'costs': series('AvgRolloutTotalCosts/policy'),
+            'wall_s': round(wall, 1)}
+
+
+# ---------------------------------------------------------------------------
+# our side (jax)
+# ---------------------------------------------------------------------------
+
+def run_ours(task, seed):
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    import optax
+    from mujoco_mbrl_tpu import agents, envs, models, planners
+    from mujoco_mbrl_tpu.utils.metrics import MetricsWriter
+
+    domain, task_name = task.rsplit('_', 1)
+    env = envs.load(domain, task_name)
+    model = models.MLPDynamics(env.observation_dim, env.action_dim)
+    out_dir = f'/tmp/ref_compare_ours_{_CFG.task}_{seed}'
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)   # stale metrics corrupt curves
+    os.makedirs(out_dir, exist_ok=True)
+    writer = MetricsWriter(out_dir)
+    agent = agents.GoalStateAgent(
+        environment=env, planner=planners.RandomShootingPlanner,
+        model=model, horizon=_CFG.horizon, optimizer=optax.adam(0.01),
+        rollout_length=_CFG.rollout_len,
+        num_rollouts_per_iteration=_CFG.rollouts_per_iter,
+        num_train_iterations=_CFG.iters, writer=writer,
+        base_path=out_dir, seed=seed,
+        num_initial_rollouts=_CFG.initial_rollouts,
+        planner_kwargs=dict(num_trajectories=_CFG.candidates))
+    t0 = time.time()
+    agent.train()
+    wall = time.time() - t0
+    writer.close()
+    with open(os.path.join(out_dir, 'metrics.jsonl')) as f:
+        rows = [json.loads(ln) for ln in f]
+
+    def series(tag):
+        sel = [r for r in rows if r.get('tag') == tag]
+        return [r['value'] for r in sorted(sel, key=lambda r: r['step'])]
+    return {'rewards': series('AvgRolloutRewards/policy'),
+            'costs': series('AvgRolloutTotalCosts/policy'),
+            'wall_s': round(wall, 1)}
+
+
+def main():
+    global _CFG
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--task', default='point_mass_easy')
+    ap.add_argument('--iters', type=int, default=3)
+    ap.add_argument('--rollout-len', type=int, default=40)
+    ap.add_argument('--rollouts-per-iter', type=int, default=3)
+    ap.add_argument('--initial-rollouts', type=int, default=5)
+    ap.add_argument('--horizon', type=int, default=10)
+    ap.add_argument('--candidates', type=int, default=200)
+    ap.add_argument('--seeds', type=int, default=2)
+    ap.add_argument('--skip-reference', action='store_true')
+    _CFG = ap.parse_args()
+
+    out = {'task': _CFG.task,
+           'config': {k: v for k, v in vars(_CFG).items()
+                      if k not in ('skip_reference',)},
+           'ours': [], 'reference': []}
+    for s in range(_CFG.seeds):
+        out['ours'].append(run_ours(_CFG.task, seed=s))
+    if not _CFG.skip_reference:
+        for s in range(_CFG.seeds):
+            out['reference'].append(run_reference(_CFG.task, seed=s))
+    print(json.dumps(out))
+
+
+if __name__ == '__main__':
+    main()
