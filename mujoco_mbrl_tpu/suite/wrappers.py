@@ -57,7 +57,8 @@ class PixelWrapper:
         m = self._env._model_with(env_state.params)
         data = engine.forward(
             m, env_state.physics,
-            jnp.zeros((m.nu,), env_state.physics.qpos.dtype))
+            jnp.zeros((m.nu,), env_state.physics.qpos.dtype),
+            acc_stage=False)   # rendering reads kinematics only
         if self._camera is not None:
             pixels = self._camera.render(data)
         else:
