@@ -222,10 +222,11 @@ def main():
                         'already a strictly stronger planner per step.')
     p.add_argument('--steps', type=int, default=10)
     p.add_argument('--sampler', default='normal',
-                   choices=('normal', 'triangular'),
+                   choices=('normal', 'triangular', 'spline4'),
                    help='in-kernel candidate sampler; triangular '
                         '(Irwin-Hall 2, unit variance) avoids Box-Muller '
-                        'transcendentals on the VPU')
+                        'transcendentals on the VPU; spline4 adds '
+                        'iCEM-style low-frequency temporal correlation')
     p.add_argument('--repeats', type=int, default=3)
     p.add_argument('--cpu', action='store_true')
     p.add_argument('--phases', action='store_true',

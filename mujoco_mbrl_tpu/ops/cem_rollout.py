@@ -263,24 +263,48 @@ def _sample_kernel(seed_ref, s0_ref, mean_ref, std_ref, w1sT_ref, w1aT_ref,
     s = s0_ref[0]                                     # (sd, K)
     K = s.shape[1]
     ad = mean_ref.shape[2]
+    Kz = K // 2 if antithetic else K
+
+    def _uniform(shape):
+        # int32 view * 2^-32 + 0.5 maps bits uniformly onto [0, 1)
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+        return bits.astype(jnp.float32) * (1.0 / 4294967296.0) + 0.5
+
+    def _triangular(shape_rows):
+        # Irwin-Hall(2) scaled to unit variance: zero transcendentals
+        # (Box-Muller's log/cos/sqrt dominate this kernel's VPU time).
+        # CEM needs only a symmetric unimodal proposal with the
+        # requested std; the refit statistics stay exact.
+        u = _uniform((2 * shape_rows, Kz))
+        return (u[:shape_rows] + u[shape_rows:] - 1.0) * 2.4494897
+
+    knots = None
+    if sampler == 'spline4':
+        # iCEM-style temporally-correlated (low-frequency) noise: draw
+        # triangular knots every 4 steps and interpolate along the
+        # horizon, renormalized to unit per-step variance. Smoother
+        # action sequences explore locomotion tasks better per sample
+        # (Pinneri et al. 2020) and cost 4x fewer random draws.
+        n_knots = (horizon + 3) // 4 + 1
+        knots = jnp.stack([_triangular(ad) for _ in range(n_knots)])
 
     def body(t, carry):
         s, acc = carry
         # Antithetic halves: z for the first K/2 lanes, -z mirrored for
         # the rest — half the sampling work (the VPU-bound part of this
         # kernel) and lower CEM estimator variance.
-        Kz = K // 2 if antithetic else K
-        u_bits = pltpu.bitcast(pltpu.prng_random_bits((2 * ad, Kz)),
-                               jnp.int32)
-        # int32 view * 2^-32 + 0.5 maps bits uniformly onto [0, 1)
-        u = u_bits.astype(jnp.float32) * (1.0 / 4294967296.0) + 0.5
         if sampler == 'triangular':
-            # Irwin-Hall(2) scaled to unit variance: zero transcendentals
-            # (Box-Muller's log/cos/sqrt dominate this kernel's VPU time).
-            # CEM needs only a symmetric unimodal proposal with the
-            # requested std; the refit statistics stay exact.
-            z = (u[:ad] + u[ad:] - 1.0) * 2.4494897  # sqrt(6): unit var
+            z = _triangular(ad)
+        elif sampler == 'spline4':
+            k0 = jax.lax.dynamic_index_in_dim(knots, t // 4, 0,
+                                              keepdims=False)
+            k1 = jax.lax.dynamic_index_in_dim(knots, t // 4 + 1, 0,
+                                              keepdims=False)
+            w = (t % 4).astype(jnp.float32) * 0.25
+            z = ((1.0 - w) * k0 + w * k1) * jax.lax.rsqrt(
+                (1.0 - w) * (1.0 - w) + w * w)
         else:
+            u = _uniform((2 * ad, Kz))
             u1 = jnp.clip(u[:ad], 1e-7, 1.0)
             u2 = u[ad:]
             z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
@@ -411,9 +435,11 @@ def mlp_sample_rollout_costs(params, seed, s0, mean, std, goal, weights,
       seed: int32 scalar; each env program folds in its grid index.
       s0: (B, sd) per-env initial states.
       mean, std: (B, H, ad) CEM proposal statistics.
-      sampler: 'normal' (Box-Muller) or 'triangular' (Irwin-Hall(2)
+      sampler: 'normal' (Box-Muller), 'triangular' (Irwin-Hall(2)
         scaled to unit variance — no transcendentals, for VPU-bound
-        configs; CEM refit statistics are distribution-agnostic).
+        configs; CEM refit statistics are distribution-agnostic), or
+        'spline4' (triangular knots every 4 steps, lerped along the
+        horizon — iCEM-style low-frequency exploration noise).
     Returns:
       costs (B, K) float32 and actions (B, H, ad, K) — the kernel's own
       PRNG stream (distinct from jax.random but deterministic in `seed`).
@@ -422,6 +448,8 @@ def mlp_sample_rollout_costs(params, seed, s0, mean, std, goal, weights,
     _, H, ad = mean.shape
     Kp = ((num_candidates + 127) // 128) * 128
     G = envs_per_program
+    if sampler == 'spline4':
+        G = 1  # grouped-lane kernel implements normal/triangular only
     if G > 1 and B % G == 0 and not interpret:
         return _sample_multi(params, seed, s0, mean, std, goal, weights,
                              num_candidates, normalizers, alpha_state,

@@ -50,7 +50,7 @@ def main():
 
     grids = [
         # sampler A/B at the default config
-        (['--sampler', s] for s in ('normal', 'triangular')),
+        (['--sampler', s] for s in ('normal', 'triangular', 'spline4')),
         # env-batch scaling with the better sampler filled in manually
         (['--envs', str(b)] for b in (128, 256, 512)),
     ]
