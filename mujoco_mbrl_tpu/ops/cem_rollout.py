@@ -278,15 +278,32 @@ def _sample_kernel(seed_ref, s0_ref, mean_ref, std_ref, w1sT_ref, w1aT_ref,
         u = _uniform((2 * shape_rows, Kz))
         return (u[:shape_rows] + u[shape_rows:] - 1.0) * 2.4494897
 
-    knots = None
     if sampler == 'spline4':
         # iCEM-style temporally-correlated (low-frequency) noise: draw
-        # triangular knots every 4 steps and interpolate along the
-        # horizon, renormalized to unit per-step variance. Smoother
+        # triangular knots every 4 steps and lerp along the horizon
+        # (renormalized to unit per-step variance). Smoother candidate
         # action sequences explore locomotion tasks better per sample
-        # (Pinneri et al. 2020) and cost 4x fewer random draws.
+        # (Pinneri et al. 2020) and cost 4x fewer PRNG draws. All H
+        # steps are materialized up front with STATIC indices (trace-
+        # time unroll) and written to act_ref once; the rollout loop
+        # reads them back per step (dynamic ref indexing, the same
+        # pattern as the store in the per-step samplers below).
         n_knots = (horizon + 3) // 4 + 1
-        knots = jnp.stack([_triangular(ad) for _ in range(n_knots)])
+        knots = [_triangular(ad) for _ in range(n_knots)]
+        rows = []
+        for t in range(horizon):
+            i, w = t // 4, (t % 4) * 0.25
+            zt = knots[i] if w == 0.0 else (
+                ((1.0 - w) * knots[i] + w * knots[i + 1])
+                * (1.0 / float(np.sqrt((1.0 - w) ** 2 + w ** 2))))
+            if antithetic:
+                zt = jnp.concatenate([zt, -zt], axis=1)
+            rows.append(zt)
+        z_all = jnp.stack(rows)                       # (H, ad, K)
+        a_all = jnp.clip(mean_ref[0][:, :, None]
+                         + std_ref[0][:, :, None] * z_all,
+                         action_low, action_high).astype(s.dtype)
+        act_ref[0] = a_all
 
     def body(t, carry):
         s, acc = carry
@@ -296,24 +313,22 @@ def _sample_kernel(seed_ref, s0_ref, mean_ref, std_ref, w1sT_ref, w1aT_ref,
         if sampler == 'triangular':
             z = _triangular(ad)
         elif sampler == 'spline4':
-            k0 = jax.lax.dynamic_index_in_dim(knots, t // 4, 0,
-                                              keepdims=False)
-            k1 = jax.lax.dynamic_index_in_dim(knots, t // 4 + 1, 0,
-                                              keepdims=False)
-            w = (t % 4).astype(jnp.float32) * 0.25
-            z = ((1.0 - w) * k0 + w * k1) * jax.lax.rsqrt(
-                (1.0 - w) * (1.0 - w) + w * w)
+            z = None                                  # pre-materialized
         else:
             u = _uniform((2 * ad, Kz))
             u1 = jnp.clip(u[:ad], 1e-7, 1.0)
             u2 = u[ad:]
             z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
                 (2.0 * np.pi) * u2)
-        if antithetic:
+        if antithetic and z is not None:
             z = jnp.concatenate([z, -z], axis=1)
-        a = jnp.clip(mean_ref[0, t][:, None] + std_ref[0, t][:, None] * z,
-                     action_low, action_high).astype(s.dtype)
-        act_ref[0, t] = a
+        if z is None:            # spline4: read the pre-written actions
+            a = act_ref[0, t]
+        else:
+            a = jnp.clip(mean_ref[0, t][:, None]
+                         + std_ref[0, t][:, None] * z,
+                         action_low, action_high).astype(s.dtype)
+            act_ref[0, t] = a
         dt = s.dtype
         h = (jnp.dot(w1sT_ref[:], s, preferred_element_type=jnp.float32)
              + jnp.dot(w1aT_ref[:], a, preferred_element_type=jnp.float32)
