@@ -232,10 +232,35 @@ def main():
     p.add_argument('--phases', action='store_true',
                    help='time plan/physics as separate jitted programs '
                         'and print the per-phase JSON line instead')
+    p.add_argument('--device-timeout', type=float, default=240.0,
+                   help='seconds to wait for device init before emitting '
+                        'an error JSON line and exiting (the axon TPU '
+                        'tunnel can hang jax.devices() indefinitely)')
     args = p.parse_args()
 
     if args.cpu:
         jax.config.update('jax_platforms', 'cpu')
+
+    # Device-init watchdog: a broken TPU tunnel hangs jax.devices()
+    # forever with 0% CPU; better to emit an explicit error record than
+    # to wedge the caller. Cancelled as soon as devices come up.
+    import os
+    import threading
+
+    def _no_devices():
+        print(json.dumps({
+            'metric': f'env-steps/s/chip ({args.task}) — DEVICE INIT '
+                      'TIMEOUT: TPU tunnel unreachable',
+            'value': 0.0, 'unit': 'env-steps/s', 'vs_baseline': 0.0,
+            'error': f'device init exceeded {args.device_timeout}s',
+        }), flush=True)
+        os._exit(3)
+
+    watchdog = threading.Timer(args.device_timeout, _no_devices)
+    watchdog.daemon = True
+    watchdog.start()
+    jax.devices()
+    watchdog.cancel()
 
     # Persistent compiled-program cache: the walker MPC program is large
     # (CEM kernel + contact physics fused into one scan) and its XLA
