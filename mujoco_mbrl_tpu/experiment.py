@@ -93,7 +93,8 @@ class Agent(Enum):
     def construct(self, *, environment, planner, model, horizon, optimizer,
                   rollout_length, num_rollouts_per_iteration,
                   num_train_iterations, writer, base_path, seed,
-                  planner_kwargs=None, train_epochs=50):
+                  planner_kwargs=None, train_epochs=50,
+                  kernel_kwargs=None):
         common = dict(
             environment=environment, planner=planner, model=model,
             horizon=horizon, optimizer=optimizer,
@@ -101,7 +102,7 @@ class Agent(Enum):
             num_rollouts_per_iteration=num_rollouts_per_iteration,
             num_train_iterations=num_train_iterations, writer=writer,
             base_path=base_path, seed=seed, planner_kwargs=planner_kwargs,
-            train_epochs=train_epochs)
+            train_epochs=train_epochs, kernel_kwargs=kernel_kwargs)
         if self is Agent.GoalStateAgent:
             return agents.GoalStateAgent(
                 action_cost=models.CoshLoss(),
@@ -133,6 +134,13 @@ CONFIG_DEF = (
     ('--train_epochs', int, 50, 'model-fit epochs per iteration'),
     ('--seed', int, 0, 'PRNG seed'),
     ('--log_level', str, 'info', 'debug | info | warning'),
+    # extensions over the reference CLI (experiment.py:148-159): tuning
+    # knobs the reference hard-coded in class defaults
+    ('--planner_kwargs', str, '',
+     'JSON overrides for the planner, e.g. \'{"num_candidates": 500}\''),
+    ('--kernel_kwargs', str, '',
+     'JSON static options for the fused TPU sampling kernel, e.g. '
+     '\'{"sampler": "triangular"}\''),
 )
 
 
@@ -163,6 +171,12 @@ def main(config) -> agents.MPCAgent:
     model = config.model.construct(environment, plan_dim=plan_dim)
     optimizer = config.optimizer.construct()
 
+    import json as _json
+    planner_kwargs = (_json.loads(config.planner_kwargs)
+                      if getattr(config, 'planner_kwargs', '') else None)
+    kernel_kwargs = (_json.loads(config.kernel_kwargs)
+                     if getattr(config, 'kernel_kwargs', '') else None)
+
     agent = config.agent.construct(
         environment=environment, planner=planner, model=model,
         horizon=config.horizon, optimizer=optimizer,
@@ -170,7 +184,8 @@ def main(config) -> agents.MPCAgent:
         num_rollouts_per_iteration=config.num_rollouts_per_iteration,
         num_train_iterations=config.num_train_iterations,
         writer=writer, base_path=config.exp_dir, seed=config.seed,
-        train_epochs=config.train_epochs)
+        train_epochs=config.train_epochs,
+        planner_kwargs=planner_kwargs, kernel_kwargs=kernel_kwargs)
 
     agent.train()
     agents.save(agent, os.path.join(config.exp_dir, 'agent_final'))
