@@ -273,3 +273,58 @@ class Camera:
         bg = jnp.asarray(_BACKGROUND)
         rgb = jnp.where((gid < 0)[..., None], bg, rgb)
         return rgb.reshape(H, W, 3)
+
+
+class MovableCamera(Camera):
+    """Free camera posed by (lookat, distance, azimuth, elevation) —
+    the MovableCamera surface (engine.py:786-828), MuJoCo's free-camera
+    convention: azimuth rotates about world +z (degrees, 0 = looking
+    along +x), elevation tilts below the horizon (negative looks down).
+    """
+
+    def __init__(self, env_or_model, height: int = 240, width: int = 320,
+                 lookat=(0.0, 0.0, 0.0), distance: float = 3.0,
+                 azimuth: float = 90.0, elevation: float = -30.0,
+                 fovy: float = 45.0):
+        m = getattr(env_or_model, 'model', env_or_model)
+        self._m = m
+        self.height = height
+        self.width = width
+        self._fovy = float(fovy)
+        self.set_pose(lookat, distance, azimuth, elevation)
+
+    def get_pose(self):
+        return (self._lookat, self._distance, self._azimuth,
+                self._elevation)
+
+    def set_pose(self, lookat, distance, azimuth, elevation):
+        self._lookat = np.asarray(lookat, np.float64)
+        self._distance = float(distance)
+        self._azimuth = float(azimuth)
+        self._elevation = float(elevation)
+
+    def rays(self, data):
+        az = np.deg2rad(self._azimuth)
+        el = np.deg2rad(self._elevation)
+        # camera forward: from camera toward lookat
+        fwd = np.array([np.cos(el) * np.cos(az),
+                        np.cos(el) * np.sin(az),
+                        np.sin(el)])
+        pos = self._lookat - self._distance * fwd
+        # camera frame: x right, y up, camera looks along -z
+        world_up = np.array([0.0, 0.0, 1.0])
+        right = np.cross(fwd, world_up)
+        nr = np.linalg.norm(right)
+        right = (np.array([1.0, 0.0, 0.0]) if nr < 1e-9 else right / nr)
+        up = np.cross(right, fwd)
+        R_c = jnp.asarray(np.stack([right, up, -fwd], axis=1))
+        tan = np.tan(np.deg2rad(self._fovy) / 2)
+        aspect = self.width / self.height
+        ys = jnp.linspace(tan, -tan, self.height)
+        xs = jnp.linspace(-tan * aspect, tan * aspect, self.width)
+        X, Y = jnp.meshgrid(xs, ys)
+        d_cam = jnp.stack([X, Y, -jnp.ones_like(X)], -1)
+        d_cam = d_cam / jnp.linalg.norm(d_cam, axis=-1, keepdims=True)
+        dirs = d_cam.reshape(-1, 3) @ R_c.T
+        origins = jnp.broadcast_to(jnp.asarray(pos), dirs.shape)
+        return origins, dirs, R_c

@@ -115,3 +115,22 @@ def test_trackcom_camera_follows_body():
     seg = np.asarray(cam.render(data, segmentation=True))
     # the walker fills part of the tracked view
     assert (seg >= 0).sum() > 10
+
+
+def test_movable_camera_poses():
+    from mujoco_mbrl_tpu.utils.raycast import MovableCamera
+    m, data = _scene()
+    cam = MovableCamera(m, height=24, width=32, lookat=(0, 0, 1),
+                        distance=3.0, azimuth=90.0, elevation=0.0)
+    # azimuth 90, elevation 0 -> camera at (0, -3, 1) looking along +y:
+    # the unit sphere at (0,0,1) fills the image center; center depth
+    # equals distance - radius
+    depth = cam.render(data, depth=True)
+    np.testing.assert_allclose(float(depth[12, 16]), 3.0 - 0.5, atol=0.02)
+    # look from above: center pixel now sees the sphere's top
+    cam.set_pose((0, 0, 1), 2.0, 0.0, -90.0)
+    depth2 = cam.render(data, depth=True)
+    np.testing.assert_allclose(float(depth2[12, 16]), 2.0 - 0.5, atol=0.02)
+    seg = cam.render(data, segmentation=True)
+    ball_id = m.names['geom']['ball']
+    assert int(seg[12, 16]) == ball_id
