@@ -183,6 +183,23 @@ class Environment:
                       reward=zero, discount=zero + 1.0, observation=obs)
         return state, ts
 
+    def render(self, state: EnvState, height: int = 240, width: int = 320,
+               camera_id=0, depth: bool = False,
+               segmentation: bool = False):
+        """Render the current state (Physics.render, engine.py:152-184).
+
+        Uses the analytic ray caster over the model's MJCF cameras;
+        returns RGB float [0,1] (H, W, 3), metric depth (H, W), or geom
+        ids (H, W)."""
+        from ..physics import engine as _eng
+        from ..utils.raycast import Camera
+        m = self._model_with(state.params)
+        cam = Camera(m, height=height, width=width, camera_id=camera_id)
+        data = _eng.forward(m, state.physics,
+                            jnp.zeros((m.nu,), state.physics.qpos.dtype),
+                            self._contact_fn, acc_stage=False)
+        return cam.render(data, depth=depth, segmentation=segmentation)
+
     def _observe(self, m, phys, params):
         data = engine.forward(m, phys, jnp.zeros((m.nu,), phys.qpos.dtype),
                               self._contact_fn)
