@@ -164,7 +164,7 @@ def phase_breakdown(task: str, B: int, K: int, H: int, cem_iters: int,
     }))
 
 
-def selfcheck(task: str):
+def selfcheck(task: str, sampler: str = 'normal'):
     """Assert the fused Pallas sampling kernel matches the XLA reference.
 
     Runs on the real chip immediately before timing: the kernel's costs
@@ -191,7 +191,8 @@ def selfcheck(task: str):
     mean = jnp.zeros((B, H, act_dim))
     std = jnp.ones((B, H, act_dim)) * 0.5
     costs, actions = mlp_sample_rollout_costs(
-        params, 7, s0, mean, std, goal, weights, num_candidates=K)
+        params, 7, s0, mean, std, goal, weights, num_candidates=K,
+        sampler=sampler)
     flat = jnp.asarray(actions).transpose(1, 0, 3, 2).reshape(
         H, B * K, act_dim)
     s0f = jnp.broadcast_to(s0[:, None], (B, K, obs_dim)).reshape(
@@ -285,7 +286,9 @@ def main():
 
     on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
     if on_tpu and not args.no_selfcheck:
-        selfcheck(args.task)
+        # cost-vs-actions parity is sampler-agnostic: whatever actions
+        # the kernel sampled must yield the XLA reference's costs
+        selfcheck(args.task, args.sampler)
 
     run, (params, state0, key) = build_bench(
         args.task, args.envs, args.candidates, args.horizon,
