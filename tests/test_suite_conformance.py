@@ -40,24 +40,42 @@ def _uniform_actions(env, key, n):
                               minval=lo, maxval=hi)
 
 
-def _rollout(env, seed, n=20):
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _cached_env(domain, task):
+    """One env + jitted reset/rollout per (domain, task), shared by all
+    conformance cases. Without this every test call re-jitted fresh
+    closures over a fresh env — 4+ identical XLA compiles per task, the
+    dominant cost of this file on CPU."""
+    env = suite.load(domain, task)
+    reset_j = jax.jit(env.reset)
+
+    @jax.jit
+    def roll_j(state, actions):
+        def body(s, a):
+            s, ts = env.step(s, a)
+            return s, (ts.reward,
+                       suite.flatten_observation(ts.observation))
+        return jax.lax.scan(body, state, actions)
+
+    return env, reset_j, roll_j
+
+
+def _rollout(domain, task, seed, n=20):
+    env, reset_j, roll_j = _cached_env(domain, task)
     key = jax.random.PRNGKey(seed)
-    state, ts = jax.jit(env.reset)(key)
+    state, ts = reset_j(key)
     actions = _uniform_actions(env, jax.random.fold_in(key, 1), n)
-
-    def body(s, a):
-        s, ts = env.step(s, a)
-        return s, (ts.reward, suite.flatten_observation(ts.observation))
-
-    _, (rewards, obs) = jax.jit(
-        lambda s, a: jax.lax.scan(body, s, a))(state, actions)
+    _, (rewards, obs) = roll_j(state, actions)
     return np.asarray(rewards), np.asarray(obs)
 
 
 @pytest.mark.parametrize('domain,task', ALL_TASKS)
 class TestAllTasks:
     def test_components_and_specs(self, domain, task):
-        env = suite.load(domain, task)
+        env, _, _ = _cached_env(domain, task)
         spec = env.action_spec()
         assert spec.shape == (env.model.nu,)
         obs_spec = env.observation_spec()
@@ -66,24 +84,23 @@ class TestAllTasks:
             assert s.dtype == np.float32, name
 
     def test_step_produces_finite_obs(self, domain, task):
-        rewards, obs = _rollout(suite.load(domain, task), seed=0)
+        rewards, obs = _rollout(domain, task, seed=0)
         assert np.isfinite(obs).all()
         assert np.isfinite(rewards).all()
 
     def test_determinism(self, domain, task):
         """Same PRNG seed -> bitwise identical trajectories
         (domains_test.py:171-186)."""
-        env = suite.load(domain, task)
-        r1, o1 = _rollout(env, seed=11)
-        r2, o2 = _rollout(env, seed=11)
+        r1, o1 = _rollout(domain, task, seed=11)
+        r2, o2 = _rollout(domain, task, seed=11)
         np.testing.assert_array_equal(r1, r2)
         np.testing.assert_array_equal(o1, o2)
 
     def test_initial_state_randomized(self, domain, task):
         """Different seeds -> different episodes (domains_test.py:282)."""
-        env = suite.load(domain, task)
-        s1, t1 = jax.jit(env.reset)(jax.random.PRNGKey(0))
-        s2, t2 = jax.jit(env.reset)(jax.random.PRNGKey(1))
+        _, reset_j, _ = _cached_env(domain, task)
+        s1, t1 = reset_j(jax.random.PRNGKey(0))
+        s2, t2 = reset_j(jax.random.PRNGKey(1))
         o1 = suite.flatten_observation(t1.observation)
         o2 = suite.flatten_observation(t2.observation)
         assert not np.allclose(np.asarray(o1), np.asarray(o2))
@@ -92,7 +109,8 @@ class TestAllTasks:
 @pytest.mark.parametrize('domain,task', BENCHMARKING)
 def test_benchmarking_rewards_in_unit_interval(domain, task):
     """domains_test.py:99-104."""
-    rewards, _ = _rollout(suite.load(domain, task), seed=3, n=30)
+    # n=20 reuses the trace _rollout already compiled for this task
+    rewards, _ = _rollout(domain, task, seed=3, n=20)
     assert (rewards >= 0).all() and (rewards <= 1).all()
 
 
