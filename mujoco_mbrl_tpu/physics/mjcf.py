@@ -939,12 +939,25 @@ def _with_invweight0(model: 'M.Model') -> 'M.Model':
         return model
     meta = smooth.tree_meta(model)
     qpos0 = jnp.asarray(model.qpos0)
-    (xpos, xquat, _xmat, _gxp, _gxm, _sxp,
-     xanchor, xaxis) = smooth.kinematics(model, qpos0, meta)
-    xipos = smooth.com_positions(model, xpos, xquat)
-    cdof = smooth.motion_subspace(model, xquat, xanchor, xaxis, meta)
-    cinert = smooth.body_spatial_inertia(model, xquat, xipos)
-    qM = np.asarray(smooth.crba(model, cdof, cinert, meta), np.float64)
+
+    # One jitted probe instead of eager op-by-op execution: every eager
+    # jnp primitive compiles its own tiny XLA program (~120 programs for
+    # even a 2-dof model), which dominated suite.load() wall time
+    # (cartpole: ~55 s of eager compiles on a 1-core host; one fused
+    # program compiles in ~1 s and scales fine to humanoid_cmu).
+    import jax
+
+    def _probe(q0):
+        (xpos, xquat, _xmat, _gxp, _gxm, sxp,
+         xanchor, xaxis) = smooth.kinematics(model, q0, meta)
+        xipos = smooth.com_positions(model, xpos, xquat)
+        cdof = smooth.motion_subspace(model, xquat, xanchor, xaxis, meta)
+        cinert = smooth.body_spatial_inertia(model, xquat, xipos)
+        qM = smooth.crba(model, cdof, cinert, meta)
+        return sxp, xipos, cdof, qM
+
+    _sxp, xipos, cdof, qM = jax.jit(_probe)(qpos0)
+    qM = np.asarray(qM, np.float64)
     Minv = np.linalg.inv(qM)
 
     dof_iw = np.diag(Minv).copy()
