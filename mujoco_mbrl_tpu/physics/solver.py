@@ -523,28 +523,52 @@ def solve_apgd(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
     v = jax.lax.fori_loop(0, 24, power, v0)
     L = 1.5 * jnp.maximum(v @ (Ad @ v), 1.0)  # unit diagonal -> L >= 1
 
+    # Projection as dense masked math on the full row vector: the loop
+    # body must not gather/scatter (under vmap each .at[idx].set is a
+    # batched scatter — dozens of latency-bound ops per iteration, times
+    # ~60 iterations times n_substeps). Static row-type masks turn the
+    # whole projection into a handful of (nr,)-wide selects; friction
+    # cones read their tangent rows through jnp.roll (contact blocks are
+    # contiguous [normal, t1, t2] triples) and write back through rolled
+    # masks, so the cone projection is exact and gather-free.
+    import numpy as _np
+    nr = cs.J.shape[0]
+    m_nonneg = jnp.asarray(
+        _np.isin(_np.arange(nr), nonneg)) if len(nonneg) else None
+    m_box = jnp.asarray(
+        _np.isin(_np.arange(nr), box_rows)) if len(box_rows) else None
+    if len(con0):
+        m_n = jnp.asarray(_np.isin(_np.arange(nr), con0))
+        m_t1 = jnp.asarray(_np.isin(_np.arange(nr), con0 + 1))
+        m_t2 = jnp.asarray(_np.isin(_np.arange(nr), con0 + 2))
+        mu_full = jnp.zeros((nr,), dtype).at[con0].set(
+            jnp.asarray(cs.mu, dtype))
+    bounds_full = (jnp.zeros((nr,), dtype).at[box_rows].set(bounds)
+                   if bounds is not None else None)
+
     def proj(f):
-        if len(nonneg):
-            f = f.at[nonneg].set(jnp.maximum(f[nonneg], 0.0))
-        if len(box_rows):
-            f = f.at[box_rows].set(jnp.clip(f[box_rows], -bounds, bounds))
+        if m_nonneg is not None:
+            f = jnp.where(m_nonneg, jnp.maximum(f, 0.0), f)
+        if m_box is not None:
+            f = jnp.where(m_box, jnp.clip(f, -bounds_full, bounds_full), f)
         if len(con0):
-            fn = f[con0]
-            ft1 = f[con0 + 1]
-            ft2 = f[con0 + 2]
+            ft1 = jnp.roll(f, -1)                 # tangent rows, aligned
+            ft2 = jnp.roll(f, -2)                 # to their normal row
             t = jnp.sqrt(ft1 * ft1 + ft2 * ft2)
-            mu = cs.mu
-            inside = t <= mu * fn
-            apex = mu * t + fn <= 0.0
-            fn_s = jnp.where(inside, fn,
+            inside = t <= mu_full * f
+            apex = mu_full * t + f <= 0.0
+            fn_s = jnp.where(inside, f,
                              jnp.where(apex, 0.0,
-                                       (fn + mu * t) / (1.0 + mu * mu)))
+                                       (f + mu_full * t)
+                                       / (1.0 + mu_full * mu_full)))
             tscale = jnp.where(inside, 1.0,
                                jnp.where(apex, 0.0,
-                                         mu * fn_s / jnp.maximum(t, 1e-12)))
-            f = f.at[con0].set(fn_s)
-            f = f.at[con0 + 1].set(ft1 * tscale)
-            f = f.at[con0 + 2].set(ft2 * tscale)
+                                         mu_full * fn_s
+                                         / jnp.maximum(t, 1e-12)))
+            tscale = jnp.where(m_n, tscale, 1.0)
+            f = jnp.where(m_n, fn_s, f)
+            f = f * jnp.where(m_t1, jnp.roll(tscale, 1), 1.0)
+            f = f * jnp.where(m_t2, jnp.roll(tscale, 2), 1.0)
         return f * cs.active
 
     if f0 is None:
@@ -556,8 +580,20 @@ def solve_apgd(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
         f0 = proj(jnp.where(s_inv > 0, f0 * cs.active /
                             jnp.where(s_inv > 0, s_inv, 1.0), 0.0))
 
-    def body(_, carry):
-        f, y, theta = carry
+    # Early termination (mjOption tolerance analogue): with per-substep
+    # warm starting most steady-state solves converge in a fraction of
+    # the iteration cap; stop when the iterate stops moving relative to
+    # its size. Under vmap this lowers to a batched while that runs until
+    # every env in the batch has converged — still a large win, since the
+    # cap is sized for the worst transient, not the common case.
+    tol2 = jnp.asarray(1e-12, dtype)     # (1e-6 relative L2)^2
+
+    def cond(carry):
+        f, y, theta, it, done = carry
+        return jnp.logical_and(it < iterations, jnp.logical_not(done))
+
+    def body(carry):
+        f, y, theta, it, done = carry
         g = Ad @ y - rhs
         f_new = proj(y - g / L)
         theta_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * theta * theta))
@@ -566,10 +602,14 @@ def solve_apgd(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
         restart = jnp.sum((y - f_new) * (f_new - f)) > 0.0
         beta = jnp.where(restart, 0.0, beta)
         y_new = f_new + beta * (f_new - f)
-        return f_new, y_new, jnp.where(restart, 1.0, theta_new)
+        d2 = jnp.sum((f_new - f) ** 2)
+        done = d2 <= tol2 * (1e-12 + jnp.sum(f_new * f_new))
+        return (f_new, y_new, jnp.where(restart, 1.0, theta_new),
+                it + 1, done)
 
-    f, _, _ = jax.lax.fori_loop(
-        0, iterations, body, (f0, f0, jnp.ones((), dtype)))
+    f, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (f0, f0, jnp.ones((), dtype),
+                     jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_)))
     f = f * s_inv                      # back to unscaled forces
     return cs.J.T @ f, f
 
