@@ -33,9 +33,10 @@ import jax.numpy as jnp
 
 
 def build_bench(task: str, B: int, K: int, H: int, cem_iters: int,
-                steps: int, sampler: str = 'normal'):
+                steps: int, sampler: str = 'triangular', compute_dtype=None,
+                plan_kernel: str = 'sample'):
     from mujoco_mbrl_tpu import models, planners, suite
-    from mujoco_mbrl_tpu.ops import mlp_sample_rollout_costs
+    from mujoco_mbrl_tpu.ops import mlp_cem_plan, mlp_sample_rollout_costs
 
     domain, task_name = task.rsplit('_', 1)
     env = suite.load(domain, task_name)
@@ -60,18 +61,26 @@ def build_bench(task: str, B: int, K: int, H: int, cem_iters: int,
         # models (cartpole: 5+1 dims) the XLA scan path is faster — tile
         # padding dominates the kernel.
         from mujoco_mbrl_tpu.ops.cem_rollout import _supports_pallas
+        scf = pf = None
         if obs_dim + act_dim >= 16 and _supports_pallas():
-            scf = lambda seed, mean, std: mlp_sample_rollout_costs(
-                params, seed, obs, mean, std, goal, weights,
-                num_candidates=K, sampler=sampler)
-        else:
-            # CPU (--cpu / no chip): the fused kernel's on-core PRNG has
-            # no CPU lowering; cem_batched falls back to the XLA scan path
-            scf = None
+            if plan_kernel == 'cem':
+                # fully-fused: all CEM iterations in one kernel launch
+                pf = lambda seed, mean, std: mlp_cem_plan(
+                    params, seed, obs, mean, std, goal, weights,
+                    num_candidates=K, num_elites=max(K // 10, 1),
+                    num_iterations=cem_iters, sampler=sampler,
+                    compute_dtype=compute_dtype)[0]
+            else:
+                scf = lambda seed, mean, std: mlp_sample_rollout_costs(
+                    params, seed, obs, mean, std, goal, weights,
+                    num_candidates=K, sampler=sampler,
+                    compute_dtype=compute_dtype)
+        # else CPU (--cpu / no chip): the fused kernels' on-core PRNG has
+        # no CPU lowering; cem_batched falls back to the XLA scan path
         traj = planners.cem_batched(
             key, obs, model_fn, cost, horizon=H, action_dim=act_dim,
             num_candidates=K, num_elites=max(K // 10, 1),
-            num_iterations=cem_iters, sample_costs_fn=scf,
+            num_iterations=cem_iters, sample_costs_fn=scf, plan_fn=pf,
             return_states=False)
         return traj.actions[0]
 
@@ -93,7 +102,8 @@ def build_bench(task: str, B: int, K: int, H: int, cem_iters: int,
 
 
 def phase_breakdown(task: str, B: int, K: int, H: int, cem_iters: int,
-                    sampler: str):
+                    sampler: str, compute_dtype=None,
+                    plan_kernel: str = 'sample'):
     """Time the plan and physics phases as separate jitted programs.
 
     Reproducible evidence for the per-phase claims in README's
@@ -103,7 +113,7 @@ def phase_breakdown(task: str, B: int, K: int, H: int, cem_iters: int,
     """
     run, (params, state0, key) = None, (None, None, None)  # noqa: F841
     from mujoco_mbrl_tpu import models, planners, suite
-    from mujoco_mbrl_tpu.ops import mlp_sample_rollout_costs
+    from mujoco_mbrl_tpu.ops import mlp_cem_plan, mlp_sample_rollout_costs
     from mujoco_mbrl_tpu.ops.cem_rollout import _supports_pallas
 
     domain, task_name = task.rsplit('_', 1)
@@ -136,15 +146,23 @@ def phase_breakdown(task: str, B: int, K: int, H: int, cem_iters: int,
     cost = lambda states, actions: (
         models.smooth_abs_loss(states, goal, weights)
         + models.cosh_loss(actions))
-    scf = None
+    scf = pf = None
     if obs_dim + act_dim >= 16 and _supports_pallas():
-        scf = lambda seed, mean, std: mlp_sample_rollout_costs(
-            params, seed, obs, mean, std, goal, weights,
-            num_candidates=K, sampler=sampler)
+        if plan_kernel == 'cem':
+            pf = lambda seed, mean, std: mlp_cem_plan(
+                params, seed, obs, mean, std, goal, weights,
+                num_candidates=K, num_elites=max(K // 10, 1),
+                num_iterations=cem_iters, sampler=sampler,
+                compute_dtype=compute_dtype)[0]
+        else:
+            scf = lambda seed, mean, std: mlp_sample_rollout_costs(
+                params, seed, obs, mean, std, goal, weights,
+                num_candidates=K, sampler=sampler,
+                compute_dtype=compute_dtype)
     plan = jax.jit(lambda key: planners.cem_batched(
         key, obs, model_fn, cost, horizon=H, action_dim=act_dim,
         num_candidates=K, num_elites=max(K // 10, 1),
-        num_iterations=cem_iters, sample_costs_fn=scf,
+        num_iterations=cem_iters, sample_costs_fn=scf, plan_fn=pf,
         return_states=False).actions[0])
     t_plan = timed(plan, jax.random.PRNGKey(2))
 
@@ -164,7 +182,7 @@ def phase_breakdown(task: str, B: int, K: int, H: int, cem_iters: int,
     }))
 
 
-def selfcheck(task: str, sampler: str = 'normal'):
+def selfcheck(task: str, sampler: str = 'normal', compute_dtype=None):
     """Assert the fused Pallas sampling kernel matches the XLA reference.
 
     Runs on the real chip immediately before timing: the kernel's costs
@@ -192,15 +210,19 @@ def selfcheck(task: str, sampler: str = 'normal'):
     std = jnp.ones((B, H, act_dim)) * 0.5
     costs, actions = mlp_sample_rollout_costs(
         params, 7, s0, mean, std, goal, weights, num_candidates=K,
-        sampler=sampler)
-    flat = jnp.asarray(actions).transpose(1, 0, 3, 2).reshape(
+        sampler=sampler, compute_dtype=compute_dtype)
+    flat = jnp.asarray(actions, jnp.float32).transpose(1, 0, 3, 2).reshape(
         H, B * K, act_dim)
     s0f = jnp.broadcast_to(s0[:, None], (B, K, obs_dim)).reshape(
         B * K, obs_dim)
     ref = mlp_rollout_costs_reference(params, s0f, flat, goal,
                                       weights).reshape(B, K)
+    # bf16 kernels roll the MLP at reduced precision while the reference
+    # path stays f32 — the comparison bounds accumulated rounding, not
+    # bit equality (relu branch flips amplify ~1e-3 relative per step)
+    rtol, atol = (5e-2, 5e-1) if compute_dtype is not None else (1e-4, 1e-4)
     np.testing.assert_allclose(np.asarray(costs), np.asarray(ref),
-                               rtol=1e-4, atol=1e-4,
+                               rtol=rtol, atol=atol,
                                err_msg='fused sampling kernel diverged '
                                        'from the XLA reference path')
     print('# selfcheck: fused kernel vs XLA parity OK '
@@ -208,12 +230,76 @@ def selfcheck(task: str, sampler: str = 'normal'):
           file=sys.stderr)
 
 
+def selfcheck_cem(task: str, sampler: str = 'normal', compute_dtype=None):
+    """Validate the fully-fused CEM kernel against the XLA reference.
+
+    Two properties, checked on the real chip before timing:
+      (1) rollout+cost: the final iteration's candidate costs must equal
+          the XLA reference path evaluated on the actions the kernel
+          itself sampled (same check as the two-phase kernel);
+      (2) elite refit: running the kernel for N and N-1 iterations with
+          the same seed shares the first N-1 iterations exactly (the
+          in-kernel PRNG stream is deterministic in seed), so the N-iter
+          mean must equal the XLA top-k refit applied to the (N-1)-iter
+          mean with the N-th iteration's costs/actions.
+    """
+    import numpy as np
+    from mujoco_mbrl_tpu import models, suite
+    from mujoco_mbrl_tpu.ops import (mlp_cem_plan,
+                                     mlp_rollout_costs_reference)
+
+    domain, task_name = task.rsplit('_', 1)
+    env = suite.load(domain, task_name)
+    _, ts0 = env.reset(jax.random.PRNGKey(0))
+    obs_dim = suite.flatten_observation(ts0.observation).shape[0]
+    act_dim = env.model.nu
+    model = models.MLPDynamics(obs_dim, act_dim, hidden_units=50)
+    params = model.init(jax.random.PRNGKey(1))
+    goal = jnp.zeros(obs_dim)
+    weights = jnp.ones(obs_dim)
+    B, K, H, E, A = 4, 256, 8, 25, 0.1
+    s0 = jax.random.normal(jax.random.PRNGKey(2), (B, obs_dim))
+    mean0 = jnp.zeros((B, H, act_dim))
+    std0 = jnp.full((B, H, act_dim), 0.5)
+    kw = dict(num_candidates=K, num_elites=E, sampler=sampler,
+              compute_dtype=compute_dtype, alpha=A)
+    mean2, costs2, acts2 = mlp_cem_plan(params, 7, s0, mean0, std0, goal,
+                                        weights, num_iterations=2, **kw)
+    mean1, _, _ = mlp_cem_plan(params, 7, s0, mean0, std0, goal, weights,
+                               num_iterations=1, **kw)
+    # (1) cost parity on the kernel's own sampled actions
+    flat = jnp.asarray(acts2, jnp.float32).transpose(1, 0, 3, 2).reshape(
+        H, B * K, act_dim)
+    s0f = jnp.broadcast_to(s0[:, None], (B, K, obs_dim)).reshape(
+        B * K, obs_dim)
+    ref = mlp_rollout_costs_reference(params, s0f, flat, goal,
+                                      weights).reshape(B, K)
+    rtol, atol = (5e-2, 5e-1) if compute_dtype is not None else (1e-4, 1e-4)
+    np.testing.assert_allclose(np.asarray(costs2), np.asarray(ref),
+                               rtol=rtol, atol=atol,
+                               err_msg='fused CEM kernel rollout costs '
+                                       'diverged from the XLA reference')
+    # (2) refit parity: XLA top-k refit of (mean1, costs2, acts2) == mean2
+    _, elite_idx = jax.lax.top_k(-costs2, E)             # (B, E)
+    member = jnp.zeros((B, K)).at[
+        jnp.arange(B)[:, None], elite_idx].set(1.0)
+    a32 = jnp.asarray(acts2, jnp.float32)                # (B, H, ad, K)
+    s1 = jnp.einsum('bhdk,bk->bhd', a32, member) / E
+    expect = A * mean1 + (1 - A) * s1
+    np.testing.assert_allclose(np.asarray(mean2), np.asarray(expect),
+                               rtol=1e-4, atol=1e-4,
+                               err_msg='fused CEM kernel elite refit '
+                                       'diverged from the XLA top-k refit')
+    print('# selfcheck: fused CEM kernel (rollout costs + elite refit) '
+          'vs XLA parity OK', file=sys.stderr)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument('--task', default='walker_walk')
     p.add_argument('--no-selfcheck', action='store_true',
                    help='skip the kernel-vs-XLA cost parity assert')
-    p.add_argument('--envs', type=int, default=128)
+    p.add_argument('--envs', type=int, default=512)
     p.add_argument('--candidates', type=int, default=1000)
     p.add_argument('--horizon', type=int, default=30)
     p.add_argument('--cem_iters', type=int, default=3,
@@ -222,12 +308,25 @@ def main():
                         '(planners.py:202-209); 3 CEM iterations is '
                         'already a strictly stronger planner per step.')
     p.add_argument('--steps', type=int, default=10)
-    p.add_argument('--sampler', default='normal',
+    p.add_argument('--sampler', default='triangular',
                    choices=('normal', 'triangular', 'spline4'),
                    help='in-kernel candidate sampler; triangular '
                         '(Irwin-Hall 2, unit variance) avoids Box-Muller '
                         'transcendentals on the VPU; spline4 adds '
                         'iCEM-style low-frequency temporal correlation')
+    p.add_argument('--plan_kernel', default='sample',
+                   choices=('sample', 'cem'),
+                   help="'sample' = per-iteration fused sampling+rollout "
+                        "kernel with XLA top-k refit (measured fastest: "
+                        "the in-kernel bisection top-k of 'cem' "
+                        "serializes ~10%% more per program than the 3 "
+                        "launches it saves); 'cem' = fully-fused kernel "
+                        "(all CEM iterations, sampling, elite selection "
+                        "and refit in one launch)")
+    p.add_argument('--dtype', default='f32', choices=('f32', 'bf16'),
+                   help='in-kernel MLP compute dtype; bf16 runs the '
+                        'candidate-rollout matmuls at the MXU double '
+                        'rate (cost accumulation stays f32)')
     p.add_argument('--repeats', type=int, default=3)
     p.add_argument('--cpu', action='store_true')
     p.add_argument('--phases', action='store_true',
@@ -279,20 +378,27 @@ def main():
         except Exception:
             pass
 
+    compute_dtype = jnp.bfloat16 if args.dtype == 'bf16' else None
+
     if args.phases:
         phase_breakdown(args.task, args.envs, args.candidates,
-                        args.horizon, args.cem_iters, args.sampler)
+                        args.horizon, args.cem_iters, args.sampler,
+                        compute_dtype, args.plan_kernel)
         return 0
 
     on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
     if on_tpu and not args.no_selfcheck:
         # cost-vs-actions parity is sampler-agnostic: whatever actions
         # the kernel sampled must yield the XLA reference's costs
-        selfcheck(args.task, args.sampler)
+        if args.plan_kernel == 'cem':
+            selfcheck_cem(args.task, args.sampler, compute_dtype)
+        else:
+            selfcheck(args.task, args.sampler, compute_dtype)
 
     run, (params, state0, key) = build_bench(
         args.task, args.envs, args.candidates, args.horizon,
-        args.cem_iters, args.steps, args.sampler)
+        args.cem_iters, args.steps, args.sampler, compute_dtype,
+        args.plan_kernel)
 
     # compile + warmup
     out = run(params, state0, key)

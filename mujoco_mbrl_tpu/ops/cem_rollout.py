@@ -598,3 +598,221 @@ def _sample_multi(params, seed, s0, mean, std, goal, weights,
     actions = actions.reshape(BG, H, ad, G, Kp).transpose(
         0, 3, 1, 2, 4).reshape(B, H, ad, Kp)
     return (costs[:, :num_candidates], actions[..., :num_candidates])
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused CEM: ALL refinement iterations in one kernel launch.
+# Each grid program owns one env and runs the complete CEM loop — sample K
+# candidates from (mean, std), roll them through the MLP, accumulate costs,
+# select the elite set with an in-kernel bisection top-k, and refit
+# (mean, std) — `num_iterations` times, with the (H, ad, K) action tensor
+# VMEM-resident throughout. HBM traffic per plan collapses from
+# 3 x (write actions + 2 refit passes) to one flush of the final
+# iteration's buffers, and the per-iteration XLA glue (top_k + einsum
+# refit + kernel relaunch) disappears from the critical path.
+# ---------------------------------------------------------------------------
+
+def _cem_plan_kernel(seed_ref, s0_ref, mean0_ref, std0_ref, w1sT_ref,
+                     w1aT_ref, b1_ref, w2T_ref, b2_ref, w3T_ref, b3_ref,
+                     goal_ref, wvec_ref, mean_out_ref, cost_ref, act_ref,
+                     mean_scr, std_scr, *, horizon: int, iters: int,
+                     num_candidates: int, num_elites: int,
+                     alpha: float, min_std: float, alpha_state: float,
+                     alpha_action: float, action_low: float,
+                     action_high: float, antithetic: bool, sampler: str):
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + i)
+    s0 = s0_ref[0]                                    # (sd, Kp)
+    Kp = s0.shape[1]
+    ad = mean0_ref.shape[2]
+    H = horizon
+    Kz = Kp // 2 if antithetic else Kp
+    # lanes >= num_candidates are tile padding: masked out of the elite
+    # selection so refit statistics match an exact top-k over K candidates
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, Kp), 1)
+    valid = (lane < num_candidates).astype(jnp.float32)
+
+    # warm-start proposal -> scratch (refit rewrites it every iteration)
+    mean_scr[:] = mean0_ref[0].astype(jnp.float32)[:, :, None]
+    std_scr[:] = std0_ref[0].astype(jnp.float32)[:, :, None]
+
+    def _uniform(shape):
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+        return bits.astype(jnp.float32) * (1.0 / 4294967296.0) + 0.5
+
+    for _it in range(iters):
+        def body(t, carry):
+            s, acc = carry
+            if sampler == 'triangular':
+                u = _uniform((2 * ad, Kz))
+                z = (u[:ad] + u[ad:] - 1.0) * 2.4494897
+            else:
+                u = _uniform((2 * ad, Kz))
+                u1 = jnp.clip(u[:ad], 1e-7, 1.0)
+                z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
+                    (2.0 * np.pi) * u[ad:])
+            if antithetic:
+                z = jnp.concatenate([z, -z], axis=1)
+            a = jnp.clip(mean_scr[t] + std_scr[t] * z,
+                         action_low, action_high).astype(s.dtype)
+            act_ref[0, t] = a
+            dt = s.dtype
+            h = (jnp.dot(w1sT_ref[:], s,
+                         preferred_element_type=jnp.float32)
+                 + jnp.dot(w1aT_ref[:], a,
+                           preferred_element_type=jnp.float32)
+                 + b1_ref[:])
+            h = jnp.maximum(h, 0.0).astype(dt)
+            h = jnp.maximum(
+                jnp.dot(w2T_ref[:], h, preferred_element_type=jnp.float32)
+                + b2_ref[:], 0.0).astype(dt)
+            s = (jnp.dot(w3T_ref[:], h, preferred_element_type=jnp.float32)
+                 + b3_ref[:]).astype(dt)
+            d = ((s - goal_ref[:]) * wvec_ref[:]).astype(jnp.float32)
+            c_state = jnp.sum(
+                jnp.sqrt(d * d + alpha_state * alpha_state) - alpha_state,
+                axis=0, keepdims=True)
+            u_act = (a / alpha_action).astype(jnp.float32)
+            e_u = jnp.exp(u_act)
+            cosh_u = 0.5 * (e_u + 1.0 / e_u)
+            c_act = (alpha_action ** 2) * jnp.mean(
+                cosh_u - 1.0, axis=0, keepdims=True)
+            return s, acc + c_state + c_act
+
+        acc0 = jnp.zeros((1, Kp), jnp.float32)
+        _, costs = jax.lax.fori_loop(0, H, body, (s0, acc0))
+        big = jnp.float32(3.4e38)
+        costs = jnp.where(valid > 0, costs, big)
+        cost_ref[0] = costs
+
+        # ---- in-kernel exact top-k threshold by bisection ----
+        # After ~48 halvings of a float32 interval the threshold has
+        # converged to the E-th smallest cost to 1 ulp; `member` is then
+        # the exact elite set (ties at the threshold are measure-zero for
+        # continuous costs; the count normalizer keeps stats right even
+        # if they occur).
+        lo0 = jnp.min(costs)
+        hi0 = jnp.max(jnp.where(valid > 0, costs, -big))
+
+        def bis(_, lohi):
+            lo, hi = lohi
+            mid = 0.5 * (lo + hi)
+            cnt = jnp.sum(jnp.where(costs <= mid, 1.0, 0.0))
+            take = cnt >= num_elites
+            return jnp.where(take, lo, mid), jnp.where(take, mid, hi)
+
+        lo, hi = jax.lax.fori_loop(0, 48, bis, (lo0, hi0))
+        member = jnp.where(costs <= hi, 1.0, 0.0)        # (1, Kp)
+        cnt = jnp.maximum(jnp.sum(member), 1.0)
+
+        # ---- refit: masked first/second moments over the elite set ----
+        # One shot over the whole (H, ad, Kp) VMEM-resident action tensor
+        # (a per-t loop here would serialize ~H small reductions per
+        # program, which the grid multiplies by B)
+        a_all = act_ref[0].astype(jnp.float32)           # (H, ad, Kp)
+        am = a_all * member[None]
+        s1 = jnp.sum(am, axis=2, keepdims=True)          # (H, ad, 1)
+        s2 = jnp.sum(am * a_all, axis=2, keepdims=True)
+        new_mean = s1 / cnt
+        var = jnp.maximum(s2 / cnt - new_mean * new_mean, 0.0)
+        new_std = jnp.sqrt(var)
+        mean_scr[:] = alpha * mean_scr[:] + (1 - alpha) * new_mean
+        std_scr[:] = jnp.maximum(
+            alpha * std_scr[:] + (1 - alpha) * new_std, min_std)
+
+    mean_out_ref[0] = mean_scr[:]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'num_candidates', 'num_elites', 'num_iterations', 'alpha', 'min_std',
+    'alpha_state', 'alpha_action', 'action_low', 'action_high',
+    'compute_dtype', 'antithetic', 'sampler', 'interpret'))
+def mlp_cem_plan(params, seed, s0, mean0, std0, goal, weights,
+                 num_candidates: int, num_elites: int = 100,
+                 num_iterations: int = 3, normalizers=None,
+                 alpha: float = 0.1, min_std: float = 1e-2,
+                 alpha_state: float = 0.4, alpha_action: float = 0.25,
+                 action_low: float = -1.0, action_high: float = 1.0,
+                 compute_dtype=None, antithetic: bool = True,
+                 sampler: str = 'normal', interpret: bool = False):
+    """Complete CEM plan per env in ONE kernel launch.
+
+    Args:
+      s0: (B, sd) per-env initial states.
+      mean0, std0: (B, H, ad) warm-start proposal statistics.
+    Returns:
+      (mean, last_costs, last_actions): the refit proposal mean
+      (B, H, ad) float32, plus the FINAL iteration's candidate costs
+      (B, K) and sampled actions (B, H, ad, K) — used by parity
+      validation (bench.py selfcheck re-rolls the actions through the
+      XLA reference path and checks both the costs and the refit), and
+      available for logging. The candidate tensor itself never
+      round-trips HBM between iterations.
+    """
+    B, sd = s0.shape
+    _, H, ad = mean0.shape
+    Kp = ((num_candidates + 127) // 128) * 128
+    w1, b1, w2, b2, w3, b3 = _fold_normalizers(params, normalizers)
+    if compute_dtype is not None:
+        s0 = s0.astype(compute_dtype)
+        w1, b1, w2, b2, w3, b3 = (x.astype(compute_dtype)
+                                  for x in (w1, b1, w2, b2, w3, b3))
+        goal = goal.astype(compute_dtype)
+        weights = weights.astype(compute_dtype)
+    kern = functools.partial(
+        _cem_plan_kernel, horizon=H, iters=num_iterations,
+        num_candidates=num_candidates, num_elites=num_elites,
+        alpha=alpha, min_std=min_std, alpha_state=alpha_state,
+        alpha_action=alpha_action, action_low=action_low,
+        action_high=action_high, antithetic=antithetic, sampler=sampler)
+    full2 = lambda i: (0, 0)
+    mean, costs, actions = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # seed
+            pl.BlockSpec((1, sd, Kp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, ad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, ad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w1[:sd].T.shape, full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w1[sd:].T.shape, full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((w1.shape[1], 1), full2,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w2.T.shape, full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((w2.shape[1], 1), full2,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w3.T.shape, full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((w3.shape[1], 1), full2,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sd, 1), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((sd, 1), full2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, H, ad, 1), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Kp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, ad, Kp), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, ad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, Kp), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, ad, Kp), s0.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((H, ad, 1), jnp.float32),     # mean
+            pltpu.VMEM((H, ad, 1), jnp.float32),     # std
+        ],
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32),
+      jnp.broadcast_to(s0[:, :, None], (B, sd, Kp)),
+      mean0, std0,
+      w1[:sd].T, w1[sd:].T, b1[:, None], w2.T, b2[:, None], w3.T,
+      b3[:, None], goal[:, None], weights[:, None])
+    return (mean[..., 0],
+            costs[:, 0, :num_candidates],
+            actions[:, :, :, :num_candidates])

@@ -151,6 +151,7 @@ def cem_batched(key: jax.Array, initial_states: jnp.ndarray,
                 min_std: float = 1e-2, alpha: float = 0.1,
                 rollout_costs_fn: Optional[Callable] = None,
                 sample_costs_fn: Optional[Callable] = None,
+                plan_fn: Optional[Callable] = None,
                 return_states: bool = True) -> Trajectory:
     """CEM for a whole env batch in ONE call (the lockstep-MPC hot path).
 
@@ -228,8 +229,15 @@ def cem_batched(key: jax.Array, initial_states: jnp.ndarray,
         std = jnp.maximum(alpha * std + (1 - alpha) * new_std, min_std)
         return (mean, std), None
 
-    (mean, std), _ = jax.lax.scan(
-        iteration, (mean, std), jax.random.split(key, num_iterations))
+    if plan_fn is not None:
+        # fully-fused path (ops.mlp_cem_plan): ALL CEM iterations —
+        # sampling, rollout, elite selection, refit — run inside one
+        # kernel launch; plan_fn(seed, mean, std) -> refit mean (B, H, ad)
+        seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
+        mean = plan_fn(seed, mean, std).astype(dtype)
+    else:
+        (mean, std), _ = jax.lax.scan(
+            iteration, (mean, std), jax.random.split(key, num_iterations))
 
     final_actions = jnp.clip(mean, action_low, action_high)  # (B, H, ad)
     acts_t = final_actions.transpose(1, 0, 2)                # (H, B, ad)
