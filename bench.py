@@ -131,6 +131,13 @@ def phase_breakdown(task: str, B: int, K: int, H: int, cem_iters: int,
         env._observe(env._model_with(s.params), s.physics,
                      s.params)))(state0)
 
+    # Each phase is timed as a jitted scan of `chain` back-to-back
+    # calls; dividing by `chain` amortizes the per-dispatch host->device
+    # latency (the axon tunnel adds ~tens of ms per call, which would
+    # otherwise swamp single-digit-ms phases — the production workload
+    # chains steps inside one program and never pays it per step).
+    chain = 10
+
     def timed(fn, *args, repeats=5):
         out = fn(*args)
         jax.block_until_ready(out)
@@ -139,7 +146,7 @@ def phase_breakdown(task: str, B: int, K: int, H: int, cem_iters: int,
             t0 = time.perf_counter()
             jax.block_until_ready(fn(*args))
             best = min(best, time.perf_counter() - t0)
-        return best
+        return best / chain
 
     # plan phase (full CEM call, as the agent runs it)
     model_fn = lambda s, a: model.forward(params, s, a)
@@ -159,16 +166,23 @@ def phase_breakdown(task: str, B: int, K: int, H: int, cem_iters: int,
                 params, seed, obs, mean, std, goal, weights,
                 num_candidates=K, sampler=sampler,
                 compute_dtype=compute_dtype)
-    plan = jax.jit(lambda key: planners.cem_batched(
-        key, obs, model_fn, cost, horizon=H, action_dim=act_dim,
-        num_candidates=K, num_elites=max(K // 10, 1),
-        num_iterations=cem_iters, sample_costs_fn=scf, plan_fn=pf,
-        return_states=False).actions[0])
+    def plan_once(key):
+        return planners.cem_batched(
+            key, obs, model_fn, cost, horizon=H, action_dim=act_dim,
+            num_candidates=K, num_elites=max(K // 10, 1),
+            num_iterations=cem_iters, sample_costs_fn=scf, plan_fn=pf,
+            return_states=False).actions[0]
+
+    plan = jax.jit(lambda key: jax.lax.scan(
+        lambda c, k: (c + plan_once(k).sum(), None),
+        jnp.zeros(()), jax.random.split(key, chain))[0])
     t_plan = timed(plan, jax.random.PRNGKey(2))
 
     # physics phase (one control step: substeps + observation forward)
     acts = jnp.zeros((B, act_dim))
-    phys = jax.jit(lambda s, a: jax.vmap(env.step)(s, a)[0])
+    phys = jax.jit(lambda s, a: jax.lax.scan(
+        lambda c, _: (jax.vmap(env.step)(c, a)[0], None),
+        s, None, length=chain)[0])
     t_phys = timed(phys, state0, acts)
 
     total = t_plan + t_phys
@@ -299,7 +313,7 @@ def main():
     p.add_argument('--task', default='walker_walk')
     p.add_argument('--no-selfcheck', action='store_true',
                    help='skip the kernel-vs-XLA cost parity assert')
-    p.add_argument('--envs', type=int, default=512)
+    p.add_argument('--envs', type=int, default=1024)
     p.add_argument('--candidates', type=int, default=1000)
     p.add_argument('--horizon', type=int, default=30)
     p.add_argument('--cem_iters', type=int, default=3,

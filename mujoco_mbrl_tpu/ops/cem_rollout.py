@@ -257,7 +257,8 @@ def _sample_kernel(seed_ref, s0_ref, mean_ref, std_ref, w1sT_ref, w1aT_ref,
                    wvec_ref, cost_ref, act_ref, *, horizon: int,
                    alpha_state: float, alpha_action: float,
                    action_low: float, action_high: float,
-                   antithetic: bool = True, sampler: str = 'normal'):
+                   antithetic: bool = True, sampler: str = 'normal',
+                   unroll: int = 1):
     i = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0] + i)
     s = s0_ref[0]                                     # (sd, K)
@@ -351,7 +352,9 @@ def _sample_kernel(seed_ref, s0_ref, mean_ref, std_ref, w1sT_ref, w1aT_ref,
         return s, acc + c_state + c_act
 
     acc0 = jnp.zeros((1, K), jnp.float32)
-    s, acc = jax.lax.fori_loop(0, horizon, body, (s, acc0))
+    # unroll: amortize the Mosaic loop-carry overhead over several
+    # horizon steps (the body is small relative to the branch cost)
+    s, acc = jax.lax.fori_loop(0, horizon, body, (s, acc0), unroll=unroll)
     cost_ref[0] = acc
 
 
@@ -432,7 +435,7 @@ def _sample_kernel_multi(seed_ref, s0_ref, mean_ref, std_ref, w1sT_ref,
 @functools.partial(jax.jit, static_argnames=(
     'num_candidates', 'alpha_state', 'alpha_action', 'action_low',
     'action_high', 'interpret', 'compute_dtype', 'antithetic',
-    'envs_per_program', 'sampler'))
+    'envs_per_program', 'sampler', 'unroll'))
 def mlp_sample_rollout_costs(params, seed, s0, mean, std, goal, weights,
                              num_candidates: int, normalizers=None,
                              alpha_state: float = 0.4,
@@ -443,7 +446,8 @@ def mlp_sample_rollout_costs(params, seed, s0, mean, std, goal, weights,
                              compute_dtype=None,
                              antithetic: bool = True,
                              envs_per_program: int = 1,
-                             sampler: str = 'normal'):
+                             sampler: str = 'normal',
+                             unroll: int = 1):
     """Sample + roll out + cost K candidates per env, fully in-kernel.
 
     Args:
@@ -483,7 +487,8 @@ def mlp_sample_rollout_costs(params, seed, s0, mean, std, goal, weights,
     kern = functools.partial(
         _sample_kernel, horizon=H, alpha_state=alpha_state,
         alpha_action=alpha_action, action_low=action_low,
-        action_high=action_high, antithetic=antithetic, sampler=sampler)
+        action_high=action_high, antithetic=antithetic, sampler=sampler,
+        unroll=unroll)
     full2 = lambda i: (0, 0)
     costs, actions = pl.pallas_call(
         kern,

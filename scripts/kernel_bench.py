@@ -9,13 +9,22 @@ sampler / dtype / kernel variant. Prints one JSON line per config.
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
-from mujoco_mbrl_tpu import models
-from mujoco_mbrl_tpu.ops import mlp_cem_plan, mlp_sample_rollout_costs
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+from mujoco_mbrl_tpu import models  # noqa: E402
+from mujoco_mbrl_tpu.ops import (mlp_cem_plan,  # noqa: E402
+                                 mlp_sample_rollout_costs)
+
+
+CHAIN = 10   # plans chained inside one jit: amortizes the per-dispatch
+             # tunnel latency exactly like the production scan does
 
 
 def timed(fn, *args, repeats=10):
@@ -26,7 +35,7 @@ def timed(fn, *args, repeats=10):
         t0 = time.perf_counter()
         jax.block_until_ready(fn(*args))
         best = min(best, time.perf_counter() - t0)
-    return best
+    return best / CHAIN
 
 
 def main():
@@ -50,23 +59,62 @@ def main():
 
     for sampler in ('normal', 'triangular'):
         for dt in (None, jnp.bfloat16):
-            f = jax.jit(lambda seed: [mlp_sample_rollout_costs(
-                params, seed + i, s0, mean, std, goal, weights,
-                num_candidates=K, sampler=sampler, compute_dtype=dt)[0]
-                for i in range(args.iters)])
+            def plan(seed, sampler=sampler, dt=dt):
+                acc = jnp.zeros(())
+                for i in range(args.iters):
+                    c, _ = mlp_sample_rollout_costs(
+                        params, seed + i, s0, mean, std, goal, weights,
+                        num_candidates=K, sampler=sampler,
+                        compute_dtype=dt)
+                    acc = acc + c.sum()
+                return acc
+
+            f = jax.jit(lambda seed: jax.lax.scan(
+                lambda c, s: (c + plan(s), None), jnp.zeros(()),
+                seed + jnp.arange(CHAIN))[0])
             t = timed(f, 7)
             print(json.dumps({'kernel': 'sample', 'sampler': sampler,
                               'dtype': 'bf16' if dt else 'f32',
                               'B': B, 'ms_per_plan': round(t * 1e3, 2),
                               'ms_per_iter': round(t * 1e3 / args.iters,
                                                    2)}), flush=True)
+    # horizon-loop unroll sweep on the fastest config
+    for unroll in (1, H):   # Mosaic fori_loop supports 1 or full unroll
+        if H % unroll:
+            continue
+
+        def plan_u(seed, unroll=unroll):
+            acc = jnp.zeros(())
+            for i in range(args.iters):
+                c, _ = mlp_sample_rollout_costs(
+                    params, seed + i, s0, mean, std, goal, weights,
+                    num_candidates=K, sampler='triangular',
+                    unroll=unroll)
+                acc = acc + c.sum()
+            return acc
+
+        f = jax.jit(lambda seed: jax.lax.scan(
+            lambda c, s: (c + plan_u(s), None), jnp.zeros(()),
+            seed + jnp.arange(CHAIN))[0])
+        t = timed(f, 7)
+        print(json.dumps({'kernel': 'sample', 'sampler': 'triangular',
+                          'dtype': 'f32', 'unroll': unroll, 'B': B,
+                          'ms_per_plan': round(t * 1e3, 2),
+                          'ms_per_iter': round(t * 1e3 / args.iters, 2)}),
+              flush=True)
+
     for sampler in ('normal', 'triangular'):
         for dt in (None, jnp.bfloat16):
-            f = jax.jit(lambda seed: mlp_cem_plan(
-                params, seed, s0, mean, std, goal, weights,
-                num_candidates=K, num_elites=100,
-                num_iterations=args.iters, sampler=sampler,
-                compute_dtype=dt)[0])
+            def plan_c(seed, sampler=sampler, dt=dt):
+                return mlp_cem_plan(
+                    params, seed, s0, mean, std, goal, weights,
+                    num_candidates=K, num_elites=100,
+                    num_iterations=args.iters, sampler=sampler,
+                    compute_dtype=dt)[0].sum()
+
+            f = jax.jit(lambda seed: jax.lax.scan(
+                lambda c, s: (c + plan_c(s), None), jnp.zeros(()),
+                seed + jnp.arange(CHAIN))[0])
             t = timed(f, 7)
             print(json.dumps({'kernel': 'cem', 'sampler': sampler,
                               'dtype': 'bf16' if dt else 'f32',
