@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 def build_bench(task: str, B: int, K: int, H: int, cem_iters: int,
                 steps: int, sampler: str = 'triangular', compute_dtype=None,
-                plan_kernel: str = 'sample'):
+                plan_kernel: str = 'sample', group: int = 1):
     from mujoco_mbrl_tpu import models, planners, suite
     from mujoco_mbrl_tpu.ops import mlp_cem_plan, mlp_sample_rollout_costs
 
@@ -71,10 +71,14 @@ def build_bench(task: str, B: int, K: int, H: int, cem_iters: int,
                     num_iterations=cem_iters, sampler=sampler,
                     compute_dtype=compute_dtype)[0]
             else:
+                # return_padded: hand the planner the kernel's tile-padded
+                # (grouped, with --group > 1) buffers; the refit masks
+                # lanes in place instead of paying a full-HBM slice copy
                 scf = lambda seed, mean, std: mlp_sample_rollout_costs(
                     params, seed, obs, mean, std, goal, weights,
                     num_candidates=K, sampler=sampler,
-                    compute_dtype=compute_dtype)
+                    compute_dtype=compute_dtype, envs_per_program=group,
+                    return_padded=True)
         # else CPU (--cpu / no chip): the fused kernels' on-core PRNG has
         # no CPU lowering; cem_batched falls back to the XLA scan path
         traj = planners.cem_batched(
@@ -103,7 +107,7 @@ def build_bench(task: str, B: int, K: int, H: int, cem_iters: int,
 
 def phase_breakdown(task: str, B: int, K: int, H: int, cem_iters: int,
                     sampler: str, compute_dtype=None,
-                    plan_kernel: str = 'sample'):
+                    plan_kernel: str = 'sample', group: int = 1):
     """Time the plan and physics phases as separate jitted programs.
 
     Reproducible evidence for the per-phase claims in README's
@@ -165,7 +169,8 @@ def phase_breakdown(task: str, B: int, K: int, H: int, cem_iters: int,
             scf = lambda seed, mean, std: mlp_sample_rollout_costs(
                 params, seed, obs, mean, std, goal, weights,
                 num_candidates=K, sampler=sampler,
-                compute_dtype=compute_dtype)
+                compute_dtype=compute_dtype, envs_per_program=group,
+                return_padded=True)
     def plan_once(key):
         return planners.cem_batched(
             key, obs, model_fn, cost, horizon=H, action_dim=act_dim,
@@ -337,6 +342,11 @@ def main():
                         "launches it saves); 'cem' = fully-fused kernel "
                         "(all CEM iterations, sampling, elite selection "
                         "and refit in one launch)")
+    p.add_argument('--group', type=int, default=1,
+                   help='envs per fused-kernel program (grouped lane '
+                        'layout: G envs share each MLP matmul pass; the '
+                        'elite refit consumes the grouped buffers '
+                        'directly, no un-interleave transpose)')
     p.add_argument('--dtype', default='f32', choices=('f32', 'bf16'),
                    help='in-kernel MLP compute dtype; bf16 runs the '
                         'candidate-rollout matmuls at the MXU double '
@@ -397,7 +407,7 @@ def main():
     if args.phases:
         phase_breakdown(args.task, args.envs, args.candidates,
                         args.horizon, args.cem_iters, args.sampler,
-                        compute_dtype, args.plan_kernel)
+                        compute_dtype, args.plan_kernel, args.group)
         return 0
 
     on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
@@ -412,7 +422,7 @@ def main():
     run, (params, state0, key) = build_bench(
         args.task, args.envs, args.candidates, args.horizon,
         args.cem_iters, args.steps, args.sampler, compute_dtype,
-        args.plan_kernel)
+        args.plan_kernel, args.group)
 
     # compile + warmup
     out = run(params, state0, key)

@@ -435,7 +435,7 @@ def _sample_kernel_multi(seed_ref, s0_ref, mean_ref, std_ref, w1sT_ref,
 @functools.partial(jax.jit, static_argnames=(
     'num_candidates', 'alpha_state', 'alpha_action', 'action_low',
     'action_high', 'interpret', 'compute_dtype', 'antithetic',
-    'envs_per_program', 'sampler', 'unroll'))
+    'envs_per_program', 'sampler', 'unroll', 'return_padded'))
 def mlp_sample_rollout_costs(params, seed, s0, mean, std, goal, weights,
                              num_candidates: int, normalizers=None,
                              alpha_state: float = 0.4,
@@ -447,7 +447,8 @@ def mlp_sample_rollout_costs(params, seed, s0, mean, std, goal, weights,
                              antithetic: bool = True,
                              envs_per_program: int = 1,
                              sampler: str = 'normal',
-                             unroll: int = 1):
+                             unroll: int = 1,
+                             return_padded: bool = False):
     """Sample + roll out + cost K candidates per env, fully in-kernel.
 
     Args:
@@ -459,6 +460,15 @@ def mlp_sample_rollout_costs(params, seed, s0, mean, std, goal, weights,
         configs; CEM refit statistics are distribution-agnostic), or
         'spline4' (triangular knots every 4 steps, lerped along the
         horizon — iCEM-style low-frequency exploration noise).
+      return_padded: skip the slice back to `num_candidates` lanes and
+        return the kernel's tile-padded buffers directly — costs
+        (B, Kp) and actions (B, H, ad, Kp) with Kp = K rounded up to
+        128, or, with envs_per_program=G > 1, the grouped lane layout
+        (B//G, H, ad, G*Kp) exactly as the kernel wrote it. The slice
+        is a full HBM copy of the multi-hundred-MB action tensor (and
+        the grouped path's un-interleave transpose is another); a
+        consumer that masks lanes >= K itself (planners.cem_batched's
+        elite refit does) avoids both.
     Returns:
       costs (B, K) float32 and actions (B, H, ad, K) — the kernel's own
       PRNG stream (distinct from jax.random but deterministic in `seed`).
@@ -473,7 +483,8 @@ def mlp_sample_rollout_costs(params, seed, s0, mean, std, goal, weights,
         return _sample_multi(params, seed, s0, mean, std, goal, weights,
                              num_candidates, normalizers, alpha_state,
                              alpha_action, action_low, action_high,
-                             compute_dtype, antithetic, G, sampler)
+                             compute_dtype, antithetic, G, sampler,
+                             return_padded)
     w1, b1, w2, b2, w3, b3 = _fold_normalizers(params, normalizers)
     if compute_dtype is not None:
         # bf16 MLP weights/activations: the matmuls run at the MXU's
@@ -530,6 +541,8 @@ def mlp_sample_rollout_costs(params, seed, s0, mean, std, goal, weights,
       mean, std,
       w1[:sd].T, w1[sd:].T, b1[:, None], w2.T, b2[:, None], w3.T,
       b3[:, None], goal[:, None], weights[:, None])
+    if return_padded:
+        return costs[:, 0, :], actions
     return (costs[:, 0, :num_candidates],
             actions[:, :, :, :num_candidates])
 
@@ -537,7 +550,7 @@ def mlp_sample_rollout_costs(params, seed, s0, mean, std, goal, weights,
 def _sample_multi(params, seed, s0, mean, std, goal, weights,
                   num_candidates, normalizers, alpha_state, alpha_action,
                   action_low, action_high, compute_dtype, antithetic, G,
-                  sampler='normal'):
+                  sampler='normal', return_padded=False):
     B, sd = s0.shape
     _, H, ad = mean.shape
     Kp = ((num_candidates + 127) // 128) * 128
@@ -600,6 +613,12 @@ def _sample_multi(params, seed, s0, mean, std, goal, weights,
       w1[:sd].T, w1[sd:].T, b1[:, None], w2.T, b2[:, None], w3.T,
       b3[:, None], goal[:, None], weights[:, None])
     costs = costs.reshape(BG, G, Kp).reshape(B, Kp)
+    if return_padded:
+        # grouped lane layout, untouched: (BG, H, ad, G*Kp). The
+        # (B, Kp)-major un-interleave below is a full-tensor HBM
+        # transpose that measured away the grouped kernel's win; padded
+        # consumers reduce the lane axis in place instead.
+        return costs, actions
     actions = actions.reshape(BG, H, ad, G, Kp).transpose(
         0, 3, 1, 2, 4).reshape(B, H, ad, Kp)
     return (costs[:, :num_candidates], actions[..., :num_candidates])

@@ -200,10 +200,37 @@ def cem_batched(key: jax.Array, initial_states: jnp.ndarray,
         if sample_costs_fn is not None:
             # fully-fused path: sampling happens inside the kernel
             # (ops.mlp_sample_rollout_costs); actions come back
-            # (B, H, ad, K) for the elite refit
+            # (B, H, ad, K) for the elite refit. With return_padded the
+            # kernel hands over its tile-padded buffers untouched —
+            # costs (B, Kp) and actions (B, H, ad, Kp), or the grouped
+            # lane layout (B//G, H, ad, G*Kp) — and the refit masks and
+            # reduces them in place instead of paying a full-HBM slice
+            # copy (and, grouped, an un-interleave transpose) per
+            # iteration.
             seed = jax.random.randint(ikey, (), 0, jnp.iinfo(jnp.int32).max)
             costs, actions = sample_costs_fn(seed, mean, std)
-            a_spec = 'bhdk'
+            Kc = costs.shape[1]
+            if Kc != K:        # padded lanes: never elite
+                lane = jnp.arange(Kc)[None, :]
+                costs = jnp.where(lane < K, costs, jnp.float32(3.4e38))
+            if actions.shape[0] != B:   # grouped lane layout
+                BG = actions.shape[0]
+                G = B // BG
+                Kp = actions.shape[-1] // G
+                _, eidx = jax.lax.top_k(-costs, num_elites)
+                mem = jnp.zeros((B, Kc), dtype).at[
+                    jnp.arange(B)[:, None], eidx].set(1.0)
+                mg = mem.reshape(BG, G, Kp)[:, None, None]  # (BG,1,1,G,Kp)
+                a_g = actions.reshape(BG, H, ad, G, Kp)     # free reshape
+                # one streaming pass (XLA fuses both masked reductions
+                # over the shared a_g read); outputs are tiny (B*H*ad)
+                s1 = jnp.sum(a_g * mg, axis=-1)             # (BG,H,ad,G)
+                s2 = jnp.sum(a_g * a_g * mg, axis=-1)
+                sum1 = s1.transpose(0, 3, 1, 2).reshape(B, H, ad)
+                sum2 = s2.transpose(0, 3, 1, 2).reshape(B, H, ad)
+            else:
+                a_spec = 'bhdk'
+                sum1 = sum2 = None
         else:
             mean_t = mean.transpose(1, 2, 0)            # (H, ad, B)
             std_t = std.transpose(1, 2, 0)
@@ -212,16 +239,18 @@ def cem_batched(key: jax.Array, initial_states: jnp.ndarray,
                                action_low, action_high)  # (H, ad, B, K)
             costs = total_costs(actions)                # (B, K)
             a_spec = 'hdbk'
-        _, elite_idx = jax.lax.top_k(-costs, num_elites)  # (B, E)
-        # Elite mean/std via a masked reduction over K instead of a
-        # take_along_axis gather: gathering (H, ad, B, E) from the
-        # hundreds-of-MB action tensor costs ~4 ms/iteration on TPU,
-        # while two fused masked reductions are one streaming pass.
-        member = jnp.zeros((B, K), dtype).at[
-            jnp.arange(B)[:, None], elite_idx].set(1.0)
-        sum1 = jnp.einsum(f'{a_spec},bk->bhd', actions, member)
-        sum2 = jnp.einsum(f'{a_spec},{a_spec},bk->bhd', actions, actions,
-                          member)
+            sum1 = sum2 = None
+        if sum1 is None:
+            _, elite_idx = jax.lax.top_k(-costs, num_elites)  # (B, E)
+            # Elite mean/std via a masked reduction over K instead of a
+            # take_along_axis gather: gathering (H, ad, B, E) from the
+            # hundreds-of-MB action tensor costs ~4 ms/iteration on TPU,
+            # while two fused masked reductions are one streaming pass.
+            member = jnp.zeros((B, costs.shape[1]), dtype).at[
+                jnp.arange(B)[:, None], elite_idx].set(1.0)
+            sum1 = jnp.einsum(f'{a_spec},bk->bhd', actions, member)
+            sum2 = jnp.einsum(f'{a_spec},{a_spec},bk->bhd', actions,
+                              actions, member)
         new_mean = sum1 / num_elites
         var = jnp.maximum(sum2 / num_elites - new_mean * new_mean, 0.0)
         new_std = jnp.sqrt(var)
