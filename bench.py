@@ -365,6 +365,20 @@ def main():
     if args.cpu:
         jax.config.update('jax_platforms', 'cpu')
 
+    if args.group > 1:
+        # --group only reaches the kernel through the two-phase sampling
+        # path, and the kernel itself silently falls back to G=1 when the
+        # env count doesn't tile into groups (ops/cem_rollout.py) — fail
+        # loudly rather than attribute results to grouping that never ran.
+        if args.plan_kernel == 'cem':
+            p.error('--group > 1 has no effect with --plan_kernel cem '
+                    '(the fully-fused kernel has no grouped layout)')
+        if args.sampler == 'spline4':
+            p.error('--group > 1 is not supported with --sampler spline4')
+        if args.envs % args.group != 0:
+            p.error(f'--envs {args.envs} must be divisible by '
+                    f'--group {args.group}')
+
     # Device-init watchdog: a broken TPU tunnel hangs jax.devices()
     # forever with 0% CPU; better to emit an explicit error record than
     # to wedge the caller. Cancelled as soon as devices come up.

@@ -212,7 +212,8 @@ def cem_batched(key: jax.Array, initial_states: jnp.ndarray,
             Kc = costs.shape[1]
             if Kc != K:        # padded lanes: never elite
                 lane = jnp.arange(Kc)[None, :]
-                costs = jnp.where(lane < K, costs, jnp.float32(3.4e38))
+                costs = jnp.where(lane < K, costs,
+                                  jnp.finfo(costs.dtype).max)
             if actions.shape[0] != B:   # grouped lane layout
                 BG = actions.shape[0]
                 G = B // BG

@@ -50,6 +50,12 @@ class EnvState:
     physics: M.State
     params: Any              # task-specific pytree ((), or model overrides)
     step_count: jnp.ndarray  # int32 control steps taken this episode
+    # bool: the previous step() returned LAST (time limit OR early
+    # termination). autoreset_step consults this so tasks that terminate
+    # early (lqr, locomotion) reset on the following step, matching
+    # rl/control.py:101-106 which resets after LAST regardless of cause.
+    last: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.bool_))
 
 
 class ArraySpec:
@@ -177,7 +183,8 @@ class Environment:
         # settle kinematics (mirrors reset -> after_reset -> mj_forward)
         obs = self._observe(m, phys, params)
         state = EnvState(physics=phys, params=params,
-                         step_count=jnp.zeros((), jnp.int32))
+                         step_count=jnp.zeros((), jnp.int32),
+                         last=jnp.zeros((), jnp.bool_))
         zero = jnp.zeros((), phys.qpos.dtype)
         ts = TimeStep(step_type=jnp.full((), FIRST, jnp.int32),
                       reward=zero, discount=zero + 1.0, observation=obs)
@@ -227,7 +234,7 @@ class Environment:
             discount = jnp.where(terminated, term_discount, discount)
         step_type = jnp.where(is_last, LAST, MID).astype(jnp.int32)
         new_state = EnvState(physics=phys, params=state.params,
-                             step_count=step_count)
+                             step_count=step_count, last=is_last)
         return new_state, TimeStep(step_type=step_type,
                                    reward=jnp.asarray(reward, phys.qpos.dtype),
                                    discount=discount, observation=obs)
@@ -242,9 +249,10 @@ class Environment:
         """
         stepped_state, stepped_ts = self.step(state, action)
         reset_state, reset_ts = self.reset(key)
-        # restart on episode end OR physics divergence (the SPMD analogue
-        # of PhysicsError + reset_context tolerance, rl/control.py:250-253)
-        was_last = jnp.logical_or(state.step_count >= self._max_steps,
+        # restart on episode end (time limit OR early termination, carried
+        # as state.last) OR physics divergence (the SPMD analogue of
+        # PhysicsError + reset_context tolerance, rl/control.py:250-253)
+        was_last = jnp.logical_or(state.last,
                                   engine.diverged(state.physics))
 
         def pick(a, b):

@@ -98,21 +98,7 @@ def main():
 
     t_fwd = timed(chain_scan(jax.vmap(full_fwd)), phys0)
 
-    step1 = jax.jit(lambda s: jax.lax.scan(
-        lambda c, _: (engine.step(m, c, jnp.zeros(m.nu)), None),
-        s, None, length=CHAIN)[0])
-
-    def timed_direct(fn, *args, repeats=5):
-        out = fn(*args)
-        jax.block_until_ready(out)
-        best = float('inf')
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn(*args))
-            best = min(best, time.perf_counter() - t0)
-        return best / CHAIN
-
-    t_step = timed_direct(jax.jit(jax.vmap(
+    t_step = timed(jax.jit(jax.vmap(
         lambda s: jax.lax.scan(
             lambda c, _: (engine.step(m, c, jnp.zeros(m.nu)), None),
             s, None, length=CHAIN)[0])), phys0)

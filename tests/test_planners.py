@@ -102,3 +102,60 @@ class TestPlannerAPI:
                             key=jax.random.PRNGKey(0))
             assert traj.actions.shape == (5, 1)
             assert traj.states.shape == (6, 1)
+
+
+class TestCEMBatchedKernelLayouts:
+    """The padded / grouped lane decodes in cem_batched's elite refit must
+    agree exactly with the plain einsum path (ADVICE r2: the grouped kernel
+    is TPU-only, so the layout decode needs CPU-runnable coverage).
+
+    A synthetic sample_costs_fn returns deterministic (costs, actions)
+    derived from one known (B, K) reference, re-encoded into each layout
+    the fused kernel can hand back:
+      * exact:   costs (B, K),  actions (B, H, ad, K)
+      * padded:  costs (B, Kp), actions (B, H, ad, Kp), junk in pad lanes
+      * grouped: costs (B, Kp), actions (B//G, H, ad, G*Kp)
+        with actions_g[bg, h, d, g*Kp + k] = actions_p[bg*G + g, h, d, k]
+        (the kernel's grouped-program lane layout, ops/cem_rollout.py).
+    """
+
+    B, G, K, Kp, H, AD, E = 4, 2, 6, 8, 3, 2, 2
+
+    def _reference_tensors(self):
+        kc, ka = jax.random.split(jax.random.PRNGKey(42))
+        costs = jax.random.uniform(kc, (self.B, self.K))
+        actions = jax.random.normal(ka, (self.B, self.H, self.AD, self.K))
+        return costs, actions
+
+    def _run(self, sample_costs_fn):
+        traj = planners.cem_batched(
+            jax.random.PRNGKey(0),
+            jnp.zeros((self.B, 1)), toy_model, toy_cost,
+            horizon=self.H, action_dim=self.AD,
+            num_candidates=self.K, num_elites=self.E, num_iterations=2,
+            sample_costs_fn=sample_costs_fn, return_states=False)
+        return np.asarray(traj.actions)
+
+    def test_padded_and_grouped_match_exact(self):
+        costs, actions = self._reference_tensors()
+        B, G, K, Kp, H, AD = self.B, self.G, self.K, self.Kp, self.H, self.AD
+
+        # padded layout: junk lanes must never become elites. Give them
+        # the most-attractive (lowest) costs so a masking bug shows up.
+        pad_costs = jnp.concatenate(
+            [costs, jnp.full((B, Kp - K), -1e9)], axis=1)
+        pad_actions = jnp.concatenate(
+            [actions, jnp.full((B, H, AD, Kp - K), 7.7)], axis=3)
+
+        # grouped layout (B//G programs, G envs interleaved on lanes)
+        grouped_actions = pad_actions.reshape(
+            B // G, G, H, AD, Kp).transpose(0, 2, 3, 1, 4).reshape(
+            B // G, H, AD, G * Kp)
+
+        exact = self._run(lambda seed, mean, std: (costs, actions))
+        padded = self._run(lambda seed, mean, std: (pad_costs, pad_actions))
+        grouped = self._run(
+            lambda seed, mean, std: (pad_costs, grouped_actions))
+
+        np.testing.assert_allclose(padded, exact, rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(grouped, exact, rtol=1e-6, atol=1e-6)
