@@ -66,7 +66,8 @@ def forward(m: M.Model, state: M.State, ctrl: jnp.ndarray,
 
 def _forward(m: M.Model, state: M.State, ctrl: jnp.ndarray,
              contact_fn=None, acc_stage: bool = True,
-             need_qacc: bool = True, warm_f=None) -> M.Data:
+             need_qacc: bool = True, warm_f=None,
+             warm_v=None) -> M.Data:
     meta = smooth.tree_meta(m)
     qpos, qvel = state.qpos, state.qvel
 
@@ -129,10 +130,13 @@ def _forward(m: M.Model, state: M.State, ctrl: jnp.ndarray,
 
     cs = solver_mod.assemble(m, meta, qpos, qvel, cdof, contact,
                              site_xpos=site_xpos)
-    solve_fn = (solver_mod.solve_apgd if m.opt.solver == 'apgd'
-                else solver_mod.solve)
-    qfrc_constraint, f_rows = solve_fn(m, cs, qM_chol, qacc_smooth,
-                                       f0=warm_f)
+    if m.opt.solver == 'apgd':
+        qfrc_constraint, f_rows, power_v = solver_mod.solve_apgd(
+            m, cs, qM_chol, qacc_smooth, f0=warm_f, power_v0=warm_v)
+    else:
+        qfrc_constraint, f_rows = solver_mod.solve(m, cs, qM_chol,
+                                                   qacc_smooth, f0=warm_f)
+        power_v = None
     if need_qacc:
         qacc = (qacc_smooth
                 + jax.scipy.linalg.cho_solve(qM_chol, qfrc_constraint))
@@ -159,7 +163,7 @@ def _forward(m: M.Model, state: M.State, ctrl: jnp.ndarray,
         act_dot=act_dot, cdof_dot=cdof_dot,
         contact_frame=(contact.frame if contact is not None
                        else jnp.zeros((0, 3, 3), qpos.dtype)),
-        efc_force=f_rows)
+        efc_force=f_rows, efc_power_v=power_v)
 
 
 # --------------------------------------------------------------------------
@@ -198,13 +202,16 @@ def integrate_pos(m: M.Model, qpos: jnp.ndarray, qvel: jnp.ndarray,
 
 
 def _euler(m: M.Model, state: M.State, ctrl, contact_fn,
-           warm_f=None) -> Tuple[M.State, Optional[jnp.ndarray]]:
+           warm_f=None, warm_v=None
+           ) -> Tuple[M.State, Optional[jnp.ndarray],
+                      Optional[jnp.ndarray]]:
     """One semi-implicit Euler step; also returns the constraint row
-    forces so the substep loop can warm-start the next solve."""
+    forces and the APGD power-iteration vector so the substep loop can
+    warm-start the next solve AND its step-size spectral estimate."""
     h = m.opt.timestep.astype(state.qpos.dtype)
     with jax.default_matmul_precision('highest'):
         d = _forward(m, state, ctrl, contact_fn, need_qacc=False,
-                     warm_f=warm_f)
+                     warm_f=warm_f, warm_v=warm_v)
     # Implicit damping: v' = v + h*(M + h*B)^-1 * f_explicit  (mj_Euler).
     f_total = (d.qfrc_passive + d.qfrc_actuator - d.qfrc_bias
                + d.qfrc_constraint)
@@ -216,7 +223,7 @@ def _euler(m: M.Model, state: M.State, ctrl, contact_fn,
     act = (state.act + h * d.act_dot if m.na and state.act is not None
            else state.act)
     return (M.State(qpos=qpos, qvel=qvel, time=state.time + h, act=act),
-            d.efc_force)
+            d.efc_force, d.efc_power_v)
 
 
 _RK4_A = ((0.5,), (0.0, 0.5), (0.0, 0.0, 1.0))
@@ -261,17 +268,19 @@ def step(m: M.Model, state: M.State, ctrl: jnp.ndarray,
 
 
 def step_warm(m: M.Model, state: M.State, ctrl: jnp.ndarray,
-              contact_fn=None, warm_f=None
-              ) -> Tuple[M.State, Optional[jnp.ndarray]]:
+              contact_fn=None, warm_f=None, warm_v=None
+              ) -> Tuple[M.State, Optional[jnp.ndarray],
+                         Optional[jnp.ndarray]]:
     """`step` that threads constraint row forces for solver warm starts.
 
-    Returns (state, efc_force). Only the Euler path warm-starts (RK4's
-    four stage solves see different configurations; no suite RK4 model
-    is contact-rich enough to benefit)."""
+    Returns (state, efc_force, efc_power_v). Only the Euler path
+    warm-starts (RK4's four stage solves see different configurations; no
+    suite RK4 model is contact-rich enough to benefit)."""
     with jax.default_matmul_precision('highest'):
         if m.opt.integrator == M.RK4:
-            return _rk4(m, state, ctrl, contact_fn), None
-        return _euler(m, state, ctrl, contact_fn, warm_f=warm_f)
+            return _rk4(m, state, ctrl, contact_fn), None, None
+        return _euler(m, state, ctrl, contact_fn, warm_f=warm_f,
+                      warm_v=warm_v)
 
 
 class PhysicsError(RuntimeError):
@@ -325,13 +334,15 @@ def substep(m: M.Model, state: M.State, ctrl: jnp.ndarray, n: int,
         return step(m, state, ctrl, contact_fn)
 
     if m.opt.solver_warmstart and m.opt.integrator != M.RK4:
-        state, f = step_warm(m, state, ctrl, contact_fn)
+        state, f, v = step_warm(m, state, ctrl, contact_fn)
 
         def body_w(carry, _):
-            s, f = carry
-            return step_warm(m, s, ctrl, contact_fn, warm_f=f), None
+            s, f, v = carry
+            return step_warm(m, s, ctrl, contact_fn, warm_f=f,
+                             warm_v=v), None
 
-        (out, _), _ = jax.lax.scan(body_w, (state, f), None, length=n - 1)
+        (out, _, _), _ = jax.lax.scan(body_w, (state, f, v), None,
+                                      length=n - 1)
         return out
 
     def body(s, _):

@@ -460,7 +460,8 @@ def _row_structure(cs: ConstraintSet):
 def solve_apgd(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
                qacc_smooth: jnp.ndarray,
                iterations: Optional[int] = None,
-               f0: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+               f0: Optional[jnp.ndarray] = None,
+               power_v0: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Accelerated projected gradient descent on the dual QP.
 
     Solves the same problem as :func:`solve` —
@@ -471,9 +472,18 @@ def solve_apgd(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
     is thousands of latency-bound scalar ops. Friction cones use the exact
     second-order-cone projection; Nesterov momentum with adaptive restart
     recovers most of GS's per-iteration convergence.
+
+    ``power_v0`` warm-starts the step-size power iteration from the
+    previous substep's dominant-eigenvector estimate (returned as the
+    third element). The preconditioned constraint matrix is a smooth
+    function of qpos, so across 2.5 ms substeps the leading eigenspace
+    barely moves: a handful of warm iterations reach the accuracy that a
+    cold start needs 24 for, saving ~20 (nr, nr) matvecs per substep.
+
+    Returns ``(qfrc_constraint (nv,), row forces f (nr,), power_v (nr,))``.
     """
     if cs is None:
-        return jnp.zeros_like(qacc_smooth), None
+        return jnp.zeros_like(qacc_smooth), None, None
     iterations = iterations or 2 * m.opt.solver_iterations
     dtype = qacc_smooth.dtype
 
@@ -519,8 +529,16 @@ def solve_apgd(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
     def power(_, v):
         w = Ad @ v
         return w / jnp.maximum(jnp.linalg.norm(w), 1e-12)
-    v0 = jnp.ones((cs.J.shape[0],), dtype) / (cs.J.shape[0] ** 0.5)
-    v = jax.lax.fori_loop(0, 24, power, v0)
+    v_flat = jnp.ones((cs.J.shape[0],), dtype) / (cs.J.shape[0] ** 0.5)
+    if power_v0 is None:
+        v = jax.lax.fori_loop(0, 24, power, v_flat)
+    else:
+        # warm start: renormalize the carried estimate, fall back to the
+        # flat vector if it degenerated (e.g. all-zero after masking)
+        nrm = jnp.linalg.norm(power_v0)
+        v0 = jnp.where(nrm > 1e-12, power_v0 / jnp.maximum(nrm, 1e-12),
+                       v_flat)
+        v = jax.lax.fori_loop(0, 6, power, v0)
     L = 1.5 * jnp.maximum(v @ (Ad @ v), 1.0)  # unit diagonal -> L >= 1
 
     # Projection as dense masked math on the full row vector: the loop
@@ -611,7 +629,7 @@ def solve_apgd(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
         cond, body, (f0, f0, jnp.ones((), dtype),
                      jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_)))
     f = f * s_inv                      # back to unscaled forces
-    return cs.J.T @ f, f
+    return cs.J.T @ f, f, v
 
 
 def contact_forces(cs: Optional[ConstraintSet], f: Optional[jnp.ndarray],

@@ -67,9 +67,9 @@ def test_fixed_point_reproduced_from_warm_start():
         # warm start must keep the converged solution (compare the
         # generalized force J^T f — raw facet forces are non-unique
         # for pyramidal cones).
-        qf, f = solve_fn(m, cs, qM_chol, qacc_smooth, iterations=1200)
-        qf2, _ = solve_fn(m, cs, qM_chol, qacc_smooth, iterations=30,
-                          f0=f)
+        qf, f = solve_fn(m, cs, qM_chol, qacc_smooth, iterations=1200)[:2]
+        qf2 = solve_fn(m, cs, qM_chol, qacc_smooth, iterations=30,
+                       f0=f)[0]
         scale = max(float(jnp.abs(qf).max()), 1.0)
         np.testing.assert_allclose(np.asarray(qf2) / scale,
                                    np.asarray(qf) / scale,
@@ -83,19 +83,36 @@ def test_warm_start_reduces_truncated_residual():
     ctrl = jnp.zeros(m.nu)
     cs, qM_chol, qacc_smooth = _solve_pieces(m, phys, ctrl)
     # converged reference
-    _, f_ref = solver_mod.solve_apgd(m, cs, qM_chol, qacc_smooth,
-                                     iterations=400)
+    f_ref = solver_mod.solve_apgd(m, cs, qM_chol, qacc_smooth,
+                                  iterations=400)[1]
     # truncated cold vs truncated warm (warm from a partially-converged
     # run). Iteration counts kept tiny so the truncation actually bites
     # on this well-conditioned scene.
-    _, f_seed = solver_mod.solve_apgd(m, cs, qM_chol, qacc_smooth,
-                                      iterations=4)
-    _, f_cold = solver_mod.solve_apgd(m, cs, qM_chol, qacc_smooth,
-                                      iterations=2)
-    _, f_warm = solver_mod.solve_apgd(m, cs, qM_chol, qacc_smooth,
-                                      iterations=2, f0=f_seed)
+    f_seed = solver_mod.solve_apgd(m, cs, qM_chol, qacc_smooth,
+                                   iterations=4)[1]
+    f_cold = solver_mod.solve_apgd(m, cs, qM_chol, qacc_smooth,
+                                   iterations=2)[1]
+    f_warm = solver_mod.solve_apgd(m, cs, qM_chol, qacc_smooth,
+                                   iterations=2, f0=f_seed)[1]
     err_cold = float(jnp.linalg.norm(f_cold - f_ref))
     err_warm = float(jnp.linalg.norm(f_warm - f_ref))
     assert err_cold > 0.0, 'scene converged even at 2 iterations; ' \
                            'test needs a harder configuration'
     assert err_warm < err_cold, (err_warm, err_cold)
+
+
+def test_power_warmstart_matches_cold_solution():
+    """Warm-started spectral estimate (6 iters from the previous solve's
+    eigenvector) must yield the same converged forces as the cold
+    24-iteration power start."""
+    m, phys = _walker_scene()
+    ctrl = jnp.zeros(m.nu)
+    cs, qM_chol, qacc_smooth = _solve_pieces(m, phys, ctrl)
+    qf_cold, f_cold, v = solver_mod.solve_apgd(m, cs, qM_chol, qacc_smooth,
+                                               iterations=400)
+    qf_warm, f_warm, v2 = solver_mod.solve_apgd(
+        m, cs, qM_chol, qacc_smooth, iterations=400, power_v0=v)
+    scale = max(float(jnp.abs(qf_cold).max()), 1.0)
+    np.testing.assert_allclose(np.asarray(qf_warm) / scale,
+                               np.asarray(qf_cold) / scale, atol=2e-3)
+    assert v2.shape == v.shape
