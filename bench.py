@@ -34,9 +34,11 @@ import jax.numpy as jnp
 
 def build_bench(task: str, B: int, K: int, H: int, cem_iters: int,
                 steps: int, sampler: str = 'triangular', compute_dtype=None,
-                plan_kernel: str = 'sample', group: int = 1):
+                plan_kernel: str = 'sample', group: int = 1,
+                model_kind: str = 'mlp', n_ensemble: int = 5):
     from mujoco_mbrl_tpu import models, planners, suite
-    from mujoco_mbrl_tpu.ops import mlp_cem_plan, mlp_sample_rollout_costs
+    from mujoco_mbrl_tpu.ops import (mlp_cem_plan, mlp_sample_rollout_costs,
+                                     mlp_sample_rollout_costs_ensemble)
 
     domain, task_name = task.rsplit('_', 1)
     env = suite.load(domain, task_name)
@@ -46,13 +48,23 @@ def build_bench(task: str, B: int, K: int, H: int, cem_iters: int,
         jax.tree_util.tree_map(lambda x: x[0], ts0.observation)).shape[0]
     act_dim = env.model.nu
 
-    model = models.MLPDynamics(obs_dim, act_dim, hidden_units=50)
+    base = models.MLPDynamics(obs_dim, act_dim, hidden_units=50)
+    if model_kind == 'ensemble':
+        # BASELINE.json configs[3]: walker-walk with the ensemble model.
+        # Planning = TS-infinity member propagation (candidate k ->
+        # member k % n), through the one-launch (member, env) kernel.
+        model = models.EnsembleDynamics(base, n_ensemble)
+    else:
+        model = base
     params = model.init(jax.random.PRNGKey(1))
     goal = jnp.zeros(obs_dim).at[1].set(1.0)
     weights = jnp.ones(obs_dim)
 
     def plan_batch(params, obs, key):
-        model_fn = lambda s, a: model.forward(params, s, a)
+        if model_kind == 'ensemble':
+            model_fn = lambda s, a: model.forward_ts(params, s, a)
+        else:
+            model_fn = lambda s, a: model.forward(params, s, a)
         cost = lambda states, actions: (
             models.smooth_abs_loss(states, goal, weights)
             + models.cosh_loss(actions))
@@ -63,7 +75,13 @@ def build_bench(task: str, B: int, K: int, H: int, cem_iters: int,
         from mujoco_mbrl_tpu.ops.cem_rollout import _supports_pallas
         scf = pf = None
         if obs_dim + act_dim >= 16 and _supports_pallas():
-            if plan_kernel == 'cem':
+            if model_kind == 'ensemble':
+                scf = lambda seed, mean, std: (
+                    mlp_sample_rollout_costs_ensemble(
+                        params, seed, obs, mean, std, goal, weights,
+                        num_candidates=K, n_members=n_ensemble,
+                        sampler=sampler, compute_dtype=compute_dtype))
+            elif plan_kernel == 'cem':
                 # fully-fused: all CEM iterations in one kernel launch
                 pf = lambda seed, mean, std: mlp_cem_plan(
                     params, seed, obs, mean, std, goal, weights,
@@ -110,6 +128,139 @@ def build_bench(task: str, B: int, K: int, H: int, cem_iters: int,
         return env_state, rewards
 
     return jax.jit(run), (params, state0, jax.random.PRNGKey(2))
+
+
+def full_loop_bench(task: str, B: int, K: int, H: int, cem_iters: int,
+                    steps: int, repeats: int, sampler: str = 'triangular',
+                    compute_dtype=None, train_epochs: int = 50,
+                    train_batch: int = 512):
+    """Time the COMPLETE MBRL iteration: collect (with MPC planning) ->
+    replay add + stats refresh -> model fit — the cheetah-run milestone
+    (BASELINE.json configs[2], reference loop agents.py:282-295), fused
+    into ONE jitted program with the replay buffer resident in HBM.
+
+    Reported value = env-steps/s over the whole iteration (collection
+    env-steps divided by total iteration time, training included) — the
+    throughput of the thing the framework is actually for.
+    """
+    import optax
+    from mujoco_mbrl_tpu import models, planners, suite
+    from mujoco_mbrl_tpu.data import replay as R
+    from mujoco_mbrl_tpu.models.train import make_normalizers, train_model
+    from mujoco_mbrl_tpu.ops import mlp_sample_rollout_costs
+    from mujoco_mbrl_tpu.ops.cem_rollout import _supports_pallas
+
+    domain, task_name = task.rsplit('_', 1)
+    env = suite.load(domain, task_name)
+    state0, ts0 = jax.vmap(env.reset)(
+        jax.random.split(jax.random.PRNGKey(0), B))
+    obs_dim = suite.flatten_observation(
+        jax.tree_util.tree_map(lambda x: x[0], ts0.observation)).shape[0]
+    act_dim = env.model.nu
+    model = models.MLPDynamics(obs_dim, act_dim, hidden_units=50)
+    params = model.init(jax.random.PRNGKey(1))
+    optimizer = optax.adam(0.01)
+    opt_state = optimizer.init(params)
+    goal = jnp.zeros(obs_dim).at[1].set(1.0)
+    weights = jnp.ones(obs_dim)
+
+    # replay: 2 iterations of rollouts resident (ring evicts the oldest —
+    # data.py:169-183 semantics), obs_only data mode (agents.py:218-226)
+    buf = R.init_replay(capacity_rollouts=2 * B, rollout_length=steps,
+                        state_dim=obs_dim, obs_dim=obs_dim,
+                        act_dim=act_dim)
+
+    use_kernel = obs_dim + act_dim >= 16 and _supports_pallas()
+
+    def plan_batch(params, norms, obs, key):
+        model_fn = lambda s, a: model.forward(params, s, a, norms)
+        cost = lambda states, actions: (
+            models.smooth_abs_loss(states, goal, weights)
+            + models.cosh_loss(actions))
+        scf = None
+        if use_kernel:
+            scf = lambda seed, mean, std: mlp_sample_rollout_costs(
+                params, seed, obs, mean, std, goal, weights,
+                normalizers=norms, num_candidates=K, sampler=sampler,
+                compute_dtype=compute_dtype, return_padded=True)
+        traj = planners.cem_batched(
+            key, obs, model_fn, cost, horizon=H, action_dim=act_dim,
+            num_candidates=K, num_elites=max(K // 10, 1),
+            num_iterations=cem_iters, sample_costs_fn=scf,
+            return_states=False)
+        return traj.actions[0]
+
+    def collect(params, norms, env_state, key, random_policy: bool):
+        obs0 = jax.vmap(lambda s: suite.flatten_observation(
+            env._observe(env._model_with(s.params), s.physics,
+                         s.params)))(env_state)
+
+        def control_step(carry, k):
+            env_state, obs = carry
+            if random_policy:
+                actions = jax.random.uniform(
+                    k, (B, act_dim), minval=-1.0, maxval=1.0)
+            else:
+                actions = plan_batch(params, norms, obs, k)
+            env_state, ts = jax.vmap(env.step)(env_state, actions)
+            new_obs = jax.vmap(suite.flatten_observation)(ts.observation)
+            return (env_state, new_obs), (obs, actions, ts.reward)
+
+        (env_state, obsN), (obs_seq, act_seq, rew_seq) = jax.lax.scan(
+            control_step, (env_state, obs0), jax.random.split(key, steps))
+        obs_all = jnp.concatenate(
+            [obs_seq, obsN[None]], axis=0).transpose(1, 0, 2)  # (B,T+1,d)
+        return env_state, R.Rollouts(
+            states=obs_all, observations=obs_all,
+            actions=act_seq.transpose(1, 0, 2), rewards=rew_seq.T)
+
+    def iteration(params, opt_state, buf, env_state, key):
+        """collect -> add_rollouts (stats refresh) -> fit."""
+        ck, tk = jax.random.split(key)
+        norms = make_normalizers(buf)
+        env_state, rolls = collect(params, norms, env_state, ck,
+                                   random_policy=False)
+        buf = R.add_rollouts(buf, rolls)
+        norms = make_normalizers(buf)
+        params, opt_state, log = train_model(
+            model, params, buf, tk, optimizer=optimizer,
+            opt_state=opt_state, batch_size=train_batch,
+            num_epochs=train_epochs, normalizers=norms, obs_only=True)
+        return params, opt_state, buf, env_state, log.final_loss
+
+    seed_j = jax.jit(lambda es, k: collect(params, None, es, k,
+                                           random_policy=True))
+    iter_j = jax.jit(iteration)
+
+    # seed phase (outside timing, like the reference's initial rollouts):
+    # fills the buffer so normalization stats are meaningful
+    env_state, rolls = seed_j(state0, jax.random.PRNGKey(3))
+    buf = R.add_rollouts(buf, rolls)
+
+    # compile + warmup
+    out = iter_j(params, opt_state, buf, env_state, jax.random.PRNGKey(4))
+    jax.block_until_ready(out)
+
+    best = float('inf')
+    for r in range(repeats):
+        t0 = time.perf_counter()
+        out = iter_j(params, opt_state, buf, env_state,
+                     jax.random.fold_in(jax.random.PRNGKey(5), r))
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    p_, o_, b_, e_, final_loss = out
+
+    env_steps = B * steps
+    print(json.dumps({
+        'metric': (f'full MBRL-loop env-steps/s (collect {B}x{steps} with '
+                   f'CEM {K}x{H}x{cem_iters} MPC + replay add + fit '
+                   f'{train_epochs} epochs bs{train_batch}) [{task}]'),
+        'value': round(env_steps / best, 1),
+        'unit': 'env-steps/s',
+        'iteration_s': round(best, 3),
+        'final_train_loss': round(float(final_loss), 5),
+        'vs_baseline': round(env_steps / best / 10000.0, 4),
+    }))
 
 
 def phase_breakdown(task: str, B: int, K: int, H: int, cem_iters: int,
@@ -320,8 +471,76 @@ def selfcheck_cem(task: str, sampler: str = 'normal', compute_dtype=None):
           'vs XLA parity OK', file=sys.stderr)
 
 
+def selfcheck_ensemble(task: str, n: int = 5, sampler: str = 'normal',
+                       compute_dtype=None):
+    """Validate the one-launch ensemble kernel on the real chip: candidate
+    k must be costed by member k % n on the kernel's own sampled actions
+    (the TS-infinity assignment), mirroring
+    tests/test_ops_kernels.py::test_ensemble_sample_kernel_parity_on_tpu.
+    """
+    import numpy as np
+    from mujoco_mbrl_tpu import models, suite
+    from mujoco_mbrl_tpu.ops import (mlp_rollout_costs_reference,
+                                     mlp_sample_rollout_costs_ensemble)
+
+    domain, task_name = task.rsplit('_', 1)
+    env = suite.load(domain, task_name)
+    _, ts0 = env.reset(jax.random.PRNGKey(0))
+    obs_dim = suite.flatten_observation(ts0.observation).shape[0]
+    act_dim = env.model.nu
+    ens = models.EnsembleDynamics(
+        models.MLPDynamics(obs_dim, act_dim, hidden_units=50), n)
+    params = ens.init(jax.random.PRNGKey(1))
+    goal, w = jnp.zeros(obs_dim), jnp.ones(obs_dim)
+    B, K, H = 4, 10 * n, 8
+    s0 = jax.random.normal(jax.random.PRNGKey(2), (B, obs_dim))
+    mean, std = jnp.zeros((B, H, act_dim)), jnp.full((B, H, act_dim), 0.5)
+    costs, actions = mlp_sample_rollout_costs_ensemble(
+        params, 7, s0, mean, std, goal, w, num_candidates=K, n_members=n,
+        sampler=sampler, compute_dtype=compute_dtype)
+    flat = jnp.asarray(actions, jnp.float32).transpose(1, 0, 3, 2).reshape(
+        H, B * K, act_dim)
+    s0f = jnp.broadcast_to(s0[:, None], (B, K, obs_dim)).reshape(
+        B * K, obs_dim)
+    refs = jnp.stack([
+        mlp_rollout_costs_reference(
+            jax.tree_util.tree_map(lambda v: v[mi], params),
+            s0f, flat, goal, w).reshape(B, K) for mi in range(n)])
+    member = jnp.arange(K) % n
+    ref = refs[member, :, jnp.arange(K)].T
+    rtol, atol = (5e-2, 5e-1) if compute_dtype is not None else (1e-4, 1e-4)
+    np.testing.assert_allclose(np.asarray(costs), np.asarray(ref),
+                               rtol=rtol, atol=atol,
+                               err_msg='ensemble fused kernel diverged '
+                                       'from the per-member reference')
+    print('# selfcheck: ensemble fused kernel (member k % n assignment) '
+          'vs XLA parity OK', file=sys.stderr)
+
+
+# BASELINE.json milestone configs as presets (BASELINE.md:26). Each maps
+# to CLI defaults; explicit flags still override afterwards.
+CONFIGS = {
+    'northstar': dict(task='walker_walk', envs=1024, candidates=1000,
+                      horizon=30),
+    'cartpole': dict(task='cartpole_swingup', envs=128, candidates=1000,
+                     horizon=30),
+    'reacher256': dict(task='reacher_easy', envs=256, candidates=500,
+                       horizon=20),
+    'cheetah1024': dict(task='cheetah_run', envs=1024, candidates=1000,
+                        horizon=30, full_loop=True),
+    'walker_ens': dict(task='walker_walk', envs=1024, candidates=1000,
+                       horizon=30, model='ensemble'),
+    'humanoid': dict(task='humanoid_walk', envs=512, candidates=1000,
+                     horizon=30),
+}
+
+
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument('--config', default=None, choices=sorted(CONFIGS),
+                   help='BASELINE milestone preset; sets task/envs/'
+                        'candidates/horizon (+model/full-loop where the '
+                        'milestone names them). Explicit flags override.')
     p.add_argument('--task', default='walker_walk')
     p.add_argument('--no-selfcheck', action='store_true',
                    help='skip the kernel-vs-XLA cost parity assert')
@@ -359,6 +578,21 @@ def main():
                         'candidate-rollout matmuls at the MXU double '
                         'rate (cost accumulation stays f32)')
     p.add_argument('--repeats', type=int, default=3)
+    p.add_argument('--model', default='mlp', choices=('mlp', 'ensemble'),
+                   help="'ensemble' = 5-member bootstrap ensemble planned "
+                        "with TS-infinity member propagation through the "
+                        "one-launch (member, env) kernel — the walker-walk "
+                        "milestone config (BASELINE.json configs[3])")
+    p.add_argument('--n_ensemble', type=int, default=5)
+    p.add_argument('--full-loop', action='store_true', dest='full_loop',
+                   help='time the COMPLETE collect->fit->plan iteration '
+                        '(replay add + train epochs included) instead of '
+                        'the plan+physics microbench — the cheetah-run '
+                        'milestone (BASELINE.json configs[2])')
+    p.add_argument('--train_epochs', type=int, default=50,
+                   help='model-fit epochs per full-loop iteration '
+                        '(reference default, models.py:57)')
+    p.add_argument('--train_batch', type=int, default=512)
     p.add_argument('--cpu', action='store_true')
     p.add_argument('--phases', action='store_true',
                    help='time plan/physics as separate jitted programs '
@@ -368,6 +602,12 @@ def main():
                         'an error JSON line and exiting (the axon TPU '
                         'tunnel can hang jax.devices() indefinitely)')
     args = p.parse_args()
+
+    if args.config:
+        # preset first, explicit flags win: re-parse with preset defaults
+        preset = CONFIGS[args.config]
+        p.set_defaults(**preset)
+        args = p.parse_args()
 
     if args.cpu:
         jax.config.update('jax_platforms', 'cpu')
@@ -435,15 +675,25 @@ def main():
     if on_tpu and not args.no_selfcheck:
         # cost-vs-actions parity is sampler-agnostic: whatever actions
         # the kernel sampled must yield the XLA reference's costs
-        if args.plan_kernel == 'cem':
+        if args.model == 'ensemble':
+            selfcheck_ensemble(args.task, args.n_ensemble, args.sampler,
+                               compute_dtype)
+        elif args.plan_kernel == 'cem':
             selfcheck_cem(args.task, args.sampler, compute_dtype)
         else:
             selfcheck(args.task, args.sampler, compute_dtype)
 
+    if args.full_loop:
+        full_loop_bench(args.task, args.envs, args.candidates,
+                        args.horizon, args.cem_iters, args.steps,
+                        args.repeats, args.sampler, compute_dtype,
+                        args.train_epochs, args.train_batch)
+        return 0
+
     run, (params, state0, key) = build_bench(
         args.task, args.envs, args.candidates, args.horizon,
         args.cem_iters, args.steps, args.sampler, compute_dtype,
-        args.plan_kernel, args.group)
+        args.plan_kernel, args.group, args.model, args.n_ensemble)
 
     # compile + warmup
     out = run(params, state0, key)
@@ -458,10 +708,12 @@ def main():
 
     best = min(times)
     env_steps_per_s = args.envs * args.steps / best
+    model_tag = (f', {args.n_ensemble}-member ensemble TS-inf'
+                 if args.model == 'ensemble' else '')
     print(json.dumps({
         'metric': (f'env-steps/s/chip with CEM '
                    f'{args.candidates}x{args.horizon} MPC planning '
-                   f'({args.task}, {args.envs} envs)'),
+                   f'({args.task}, {args.envs} envs{model_tag})'),
         'value': round(env_steps_per_s, 1),
         'unit': 'env-steps/s',
         'vs_baseline': round(env_steps_per_s / 10000.0, 4),

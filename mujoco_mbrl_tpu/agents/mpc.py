@@ -429,27 +429,29 @@ class GoalStateAgent(MPCAgent):
 
         n = self.model.n
         if K % n:
+            import warnings
+            warnings.warn(
+                f'num_candidates={K} is not divisible by the '
+                f'{n}-member ensemble: the fused TS-∞ kernel is '
+                'disabled and planning falls back to the (slower) XLA '
+                'scan path. Pick num_candidates as a multiple of the '
+                'ensemble size.', RuntimeWarning, stacklevel=2)
             return None
 
+        kkw = dict(self.kernel_kwargs)
+        kkw.pop('envs_per_program', None)   # single-MLP-kernel-only knob
+        kkw.pop('return_padded', None)      # ensemble decode needs exact K
+        kkw.pop('fused_cem', None)          # _plan_builder-only knob
+
         def build(obs_mat, goal_state):
-            def sample_costs(seed, mean, std):
-                costs_m, actions_m = [], []
-                for mi in range(n):
-                    p_m = jax.tree_util.tree_map(lambda v: v[mi], params)
-                    c, a = ops.mlp_sample_rollout_costs(
-                        p_m, seed * n + mi, obs_mat, mean, std, goal_state,
-                        self.state_cost_weights, normalizers=norms,
-                        alpha_action=self.action_cost_alpha,
-                        num_candidates=K // n, **self.kernel_kwargs)
-                    costs_m.append(c)       # (B, K/n)
-                    actions_m.append(a)     # (B, H, ad, K/n)
-                # interleave members on the candidate axis: k = q*n + mi
-                costs = jnp.stack(costs_m, axis=-1).reshape(
-                    *costs_m[0].shape[:-1], K)
-                actions = jnp.stack(actions_m, axis=-1).reshape(
-                    *actions_m[0].shape[:-1], K)
-                return costs, actions
-            return sample_costs
+            # one launch gridded over (member, env); candidates
+            # interleave as k = q*n + mi, identical to forward_ts
+            return lambda seed, mean, std: (
+                ops.mlp_sample_rollout_costs_ensemble(
+                    params, seed, obs_mat, mean, std, goal_state,
+                    self.state_cost_weights, normalizers=norms,
+                    alpha_action=self.action_cost_alpha,
+                    num_candidates=K, n_members=n, **kkw))
         return build
 
     def _plan_builder(self, params, norms):

@@ -184,8 +184,14 @@ def epoch_batches(buf: ReplayBuffer, key: jax.Array, batch_size: int,
     Yields (num_batches, batch) index pairs for use under lax.scan/fori.
     """
     R = buf.capacity_rollouts
-    per_roll = buf.rollout_length - horizon  # reference excludes tail start
-    per_roll = max(per_roll, 1)
+    # Valid window starts: T - horizon + 1 (include the final transition).
+    # DELIBERATE divergence from the reference sampler, which excludes the
+    # tail start (data.py:278 `range(len(roll) - horizon)`) even though
+    # its own capacity accounting counts it (data.py:166,188) — that
+    # inconsistency means the last transition of every rollout is never
+    # trained on there. We train on it; sample_transitions and
+    # num_transitions here already count it.
+    per_roll = max(buf.rollout_length - horizon + 1, 1)
     total = R * per_roll
     key, fill_key = jax.random.split(key)
     perm = jax.random.permutation(key, total)

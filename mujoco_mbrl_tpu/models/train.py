@@ -82,7 +82,7 @@ def train_model(model, params, buf: R.ReplayBuffer, key: jax.Array,
     if opt_state is None:
         opt_state = optimizer.init(params)
 
-    per_roll = max(buf.rollout_length - horizon, 1)
+    per_roll = max(buf.rollout_length - horizon + 1, 1)
     total = buf.capacity_rollouts * per_roll
     num_batches = max(total // batch_size, 1)
 

@@ -9,8 +9,9 @@ parity tests.
 
 from .cem_rollout import (mlp_cem_plan, mlp_rollout_costs,
                           mlp_rollout_costs_reference, mlp_rollout_costs_t,
-                          mlp_sample_rollout_costs)
+                          mlp_sample_rollout_costs,
+                          mlp_sample_rollout_costs_ensemble)
 
 __all__ = ['mlp_cem_plan', 'mlp_rollout_costs',
            'mlp_rollout_costs_reference', 'mlp_rollout_costs_t',
-           'mlp_sample_rollout_costs']
+           'mlp_sample_rollout_costs', 'mlp_sample_rollout_costs_ensemble']

@@ -79,11 +79,16 @@ def sharded_collect(mesh: Mesh, wrapper, num_rollouts: int, num_steps: int,
 
 
 def dp_train_step(mesh: Mesh, model, optimizer, normalizers=None,
-                  axis: str = 'env'):
+                  axis='env'):
     """Data-parallel model update: per-device microbatch, psum'd grads.
 
     Uses `shard_map` so the gradient all-reduce is an explicit `psum` over
     the mesh axis (rides ICI), with parameters replicated.
+
+    ``axis`` may be one axis name or a tuple — e.g. ``('host', 'env')``
+    on a 2-axis mesh shards the batch over BOTH axes and all-reduces
+    gradients across the full device grid (the DCN-then-ICI reduction
+    XLA emits for a hosts x local-devices layout).
 
     Returns `step(params, opt_state, batch) -> (params, opt_state, loss)`
     where `batch` dict arrays have a leading dim divisible by the axis size.
@@ -91,21 +96,23 @@ def dp_train_step(mesh: Mesh, model, optimizer, normalizers=None,
     import optax
     from jax import shard_map
 
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+
     def local_step(params, opt_state, batch):
         def loss_fn(p):
             out = model.loss(p, batch, normalizers)
             return out[0] if isinstance(out, tuple) else out
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        grads = jax.lax.pmean(grads, axis)
-        loss = jax.lax.pmean(loss, axis)
+        grads = jax.lax.pmean(grads, axes)
+        loss = jax.lax.pmean(loss, axes)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
     sharded = shard_map(
         local_step, mesh=mesh,
-        in_specs=(P(), P(), P(axis)),
+        in_specs=(P(), P(), P(axes)),
         out_specs=(P(), P(), P()),
         check_vma=False)
     return jax.jit(sharded)

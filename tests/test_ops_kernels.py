@@ -215,3 +215,37 @@ def test_cem_plan_kernel_parity_on_tpu(setup):
                                num_iterations=2, **kw)
     np.testing.assert_array_equal(np.asarray(mean2), np.asarray(m2b))
     np.testing.assert_array_equal(np.asarray(costs2), np.asarray(c2b))
+
+
+@pytest.mark.skipif(not _ON_TPU, reason='in-kernel PRNG (pltpu.prng_*) '
+                                        'has no CPU lowering')
+def test_ensemble_sample_kernel_parity_on_tpu():
+    """One-launch (member, env)-gridded ensemble kernel: candidate k must
+    be costed by member k % n on the kernel's own sampled actions (the
+    TS-infinity assignment of models.EnsembleDynamics.forward_ts)."""
+    from mujoco_mbrl_tpu import models
+    from mujoco_mbrl_tpu.ops import (mlp_rollout_costs_reference,
+                                     mlp_sample_rollout_costs_ensemble)
+    sd, ad, n, K, B, H = 24, 6, 5, 500, 4, 8
+    ens = models.EnsembleDynamics(models.MLPDynamics(sd, ad, 50), n)
+    params = ens.init(jax.random.PRNGKey(0))
+    goal, w = jnp.zeros(sd), jnp.ones(sd)
+    s0 = jax.random.normal(jax.random.PRNGKey(1), (B, sd))
+    mean, std = jnp.zeros((B, H, ad)), jnp.full((B, H, ad), 0.5)
+    costs, actions = mlp_sample_rollout_costs_ensemble(
+        params, 7, s0, mean, std, goal, w, num_candidates=K, n_members=n)
+    flat = jnp.asarray(actions, jnp.float32).transpose(1, 0, 3, 2).reshape(
+        H, B * K, ad)
+    s0f = jnp.broadcast_to(s0[:, None], (B, K, sd)).reshape(B * K, sd)
+    refs = jnp.stack([
+        mlp_rollout_costs_reference(
+            jax.tree_util.tree_map(lambda v: v[mi], params),
+            s0f, flat, goal, w).reshape(B, K)
+        for mi in range(n)])
+    member = jnp.arange(K) % n
+    ref = refs[member, :, jnp.arange(K)].T
+    np.testing.assert_allclose(np.asarray(costs), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # the assignment must matter: shifting members by one breaks parity
+    wrong = refs[(member + 1) % n, :, jnp.arange(K)].T
+    assert float(jnp.abs(costs - wrong).max()) > 1e-3

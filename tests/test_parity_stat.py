@@ -1,0 +1,109 @@
+"""Distributional cross-engine parity for the contact-rich domains.
+
+Complement to the short-horizon trajectory fixtures (VERDICT r2 item #5):
+where chaos limits trajectory agreement to <= 14 physics steps (humanoid,
+quadruped:fetch, stacker, manipulator ball tasks, point_mass:hard), this
+test compares DISTRIBUTIONS over an ensemble of seeded episodes under a
+fixed random policy against real-MuJoCo fixtures
+(scripts/gen_parity_stat_fixtures.py): per-seed returns, mean ||qvel||,
+mean configuration drift, and the fraction of steps with active contacts.
+Each engine uses its own PRNG — the assertion is mean-vs-mean within
+combined standard errors, not seed-vs-seed.
+
+Reference conformance scope: domains_test.py:99-186.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mujoco_mbrl_tpu import suite
+from mujoco_mbrl_tpu.physics import collision, engine
+
+FIXTURE_DIR = os.path.join(os.path.dirname(__file__), 'fixtures',
+                           'parity_stat')
+
+_RUN_HEAVY = os.environ.get('RUN_HEAVY', '') == '1'
+
+# (domain, task, heavy): heavy cases need RUN_HEAVY=1 (multi-minute
+# XLA:CPU compiles) or the TPU backend.
+CASES = [
+    ('point_mass', 'hard', False),
+    ('humanoid', 'walk', True),
+    ('quadruped', 'fetch', True),
+    ('stacker', 'stack_2', True),
+    ('manipulator', 'bring_ball', True),
+    ('manipulator', 'insert_ball', True),
+]
+
+
+def _our_stats(domain, task, n_seeds, n_steps):
+    env = suite.load(domain, task)
+    m = env.model
+    pairs = collision.candidate_pairs(
+        m, include_geom_geom=m.opt.enable_geom_geom_contacts)
+    has_contacts = bool(pairs) and not (m.opt.disableflags
+                                        & 0)  # pairs already gate
+    spec = env.action_spec()
+    lo = np.clip(np.where(np.isfinite(spec.minimum), spec.minimum, -1.0),
+                 -1.0, 1.0)
+    hi = np.clip(np.where(np.isfinite(spec.maximum), spec.maximum, 1.0),
+                 -1.0, 1.0)
+
+    def one_seed(key):
+        rkey, akey = jax.random.split(key)
+        state, _ = env.reset(rkey)
+        qpos0 = state.physics.qpos
+
+        def step(st, k):
+            a = jax.random.uniform(k, spec.shape, minval=lo, maxval=hi)
+            st, ts = env.step(st, a)
+            mm = env._model_with(st.params)
+            if has_contacts:
+                d = engine.forward(
+                    mm, st.physics,
+                    jnp.zeros((mm.nu,), st.physics.qpos.dtype),
+                    acc_stage=False)
+                con = (d.contact_dist < 0.0).any().astype(jnp.float32)
+            else:
+                con = jnp.zeros(())
+            return st, (ts.reward,
+                        jnp.linalg.norm(st.physics.qvel),
+                        jnp.linalg.norm(st.physics.qpos - qpos0),
+                        con)
+
+        _, (rew, sp, dp, con) = jax.lax.scan(
+            step, state, jax.random.split(akey, n_steps))
+        return (rew.sum(), sp.mean(), dp.mean(), con.mean())
+
+    keys = jax.random.split(jax.random.PRNGKey(7), n_seeds)
+    ret, sp, dp, cf = jax.jit(jax.vmap(one_seed))(keys)
+    return dict(returns=np.asarray(ret), speed=np.asarray(sp),
+                disp=np.asarray(dp), contact_frac=np.asarray(cf))
+
+
+@pytest.mark.parametrize('domain,task,heavy', CASES)
+def test_stat_parity(domain, task, heavy):
+    if heavy and not _RUN_HEAVY:
+        pytest.skip('heavy domain: set RUN_HEAVY=1 (or run on TPU)')
+    fix = np.load(os.path.join(FIXTURE_DIR, f'{domain}_{task}.npz'))
+    n_seeds, n_steps = int(fix['n_seeds']), int(fix['n_steps'])
+    ours = _our_stats(domain, task, n_seeds, n_steps)
+    failures = []
+    for stat in ('returns', 'speed', 'disp', 'contact_frac'):
+        ref = fix[stat]
+        got = ours[stat]
+        assert np.isfinite(got).all(), (stat, got)
+        se = np.sqrt(ref.var() / n_seeds + got.var() / n_seeds)
+        tol = (4.0 * se + 0.15 * abs(ref.mean())
+               + 0.05 * ref.std() + (0.3 if stat == 'returns' else 1e-3))
+        diff = abs(got.mean() - ref.mean())
+        if diff > tol:
+            failures.append(
+                f'{stat}: ours {got.mean():.4f}+-{got.std():.4f} vs '
+                f'MuJoCo {ref.mean():.4f}+-{ref.std():.4f} '
+                f'(|diff| {diff:.4f} > tol {tol:.4f})')
+    assert not failures, f'{domain}:{task} ' + '; '.join(failures)
