@@ -35,7 +35,8 @@ import jax.numpy as jnp
 def build_bench(task: str, B: int, K: int, H: int, cem_iters: int,
                 steps: int, sampler: str = 'triangular', compute_dtype=None,
                 plan_kernel: str = 'sample', group: int = 1,
-                model_kind: str = 'mlp', n_ensemble: int = 5):
+                model_kind: str = 'mlp', n_ensemble: int = 5,
+                unroll: int = 1):
     from mujoco_mbrl_tpu import models, planners, suite
     from mujoco_mbrl_tpu.ops import (mlp_cem_plan, mlp_sample_rollout_costs,
                                      mlp_sample_rollout_costs_ensemble)
@@ -76,11 +77,14 @@ def build_bench(task: str, B: int, K: int, H: int, cem_iters: int,
         scf = pf = None
         if obs_dim + act_dim >= 16 and _supports_pallas():
             if model_kind == 'ensemble':
+                # trailing static True = "padded-lane costs pre-masked
+                # in-kernel" (member-blocked layout, cem_batched contract)
                 scf = lambda seed, mean, std: (
-                    mlp_sample_rollout_costs_ensemble(
+                    *mlp_sample_rollout_costs_ensemble(
                         params, seed, obs, mean, std, goal, weights,
                         num_candidates=K, n_members=n_ensemble,
-                        sampler=sampler, compute_dtype=compute_dtype))
+                        sampler=sampler, compute_dtype=compute_dtype,
+                        return_padded=True), True)
             elif plan_kernel == 'cem':
                 # fully-fused: all CEM iterations in one kernel launch
                 pf = lambda seed, mean, std: mlp_cem_plan(
@@ -96,7 +100,7 @@ def build_bench(task: str, B: int, K: int, H: int, cem_iters: int,
                     params, seed, obs, mean, std, goal, weights,
                     num_candidates=K, sampler=sampler,
                     compute_dtype=compute_dtype, envs_per_program=group,
-                    return_padded=True)
+                    unroll=unroll, return_padded=True)
         # else CPU (--cpu / no chip): the fused kernels' on-core PRNG has
         # no CPU lowering; cem_batched falls back to the XLA scan path
         traj = planners.cem_batched(
@@ -573,6 +577,9 @@ def main():
                         'layout: G envs share each MLP matmul pass; the '
                         'elite refit consumes the grouped buffers '
                         'directly, no un-interleave transpose)')
+    p.add_argument('--unroll', type=int, default=1,
+                   help='horizon-loop unroll factor inside the sampling '
+                        'kernel (amortizes Mosaic loop-carry overhead)')
     p.add_argument('--dtype', default='f32', choices=('f32', 'bf16'),
                    help='in-kernel MLP compute dtype; bf16 runs the '
                         'candidate-rollout matmuls at the MXU double '
@@ -693,7 +700,8 @@ def main():
     run, (params, state0, key) = build_bench(
         args.task, args.envs, args.candidates, args.horizon,
         args.cem_iters, args.steps, args.sampler, compute_dtype,
-        args.plan_kernel, args.group, args.model, args.n_ensemble)
+        args.plan_kernel, args.group, args.model, args.n_ensemble,
+        args.unroll)
 
     # compile + warmup
     out = run(params, state0, key)

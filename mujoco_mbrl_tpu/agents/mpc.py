@@ -444,14 +444,18 @@ class GoalStateAgent(MPCAgent):
         kkw.pop('fused_cem', None)          # _plan_builder-only knob
 
         def build(obs_mat, goal_state):
-            # one launch gridded over (member, env); candidates
-            # interleave as k = q*n + mi, identical to forward_ts
+            # one launch, one program per env with all members' lanes
+            # resident; member-blocked padded buffers go straight to
+            # cem_batched's in-place refit (trailing static True =
+            # "padded-lane costs pre-masked in-kernel, skip the lane<K
+            # mask"); candidate->member assignment matches forward_ts
             return lambda seed, mean, std: (
-                ops.mlp_sample_rollout_costs_ensemble(
+                *ops.mlp_sample_rollout_costs_ensemble(
                     params, seed, obs_mat, mean, std, goal_state,
                     self.state_cost_weights, normalizers=norms,
                     alpha_action=self.action_cost_alpha,
-                    num_candidates=K, n_members=n, **kkw))
+                    num_candidates=K, n_members=n, return_padded=True,
+                    **kkw), True)
         return build
 
     def _plan_builder(self, params, norms):

@@ -208,9 +208,19 @@ def cem_batched(key: jax.Array, initial_states: jnp.ndarray,
             # copy (and, grouped, an un-interleave transpose) per
             # iteration.
             seed = jax.random.randint(ikey, (), 0, jnp.iinfo(jnp.int32).max)
-            costs, actions = sample_costs_fn(seed, mean, std)
+            out = sample_costs_fn(seed, mean, std)
+            # 3-tuple contract: a trailing truthy flag says the kernel
+            # already wrote +max into its padded-lane costs (ensemble
+            # member-blocked layout: valid lanes are scattered per
+            # member block, so the contiguous lane<K mask below would
+            # wrongly kill valid lanes) — refit the buffer as written.
+            premasked = False
+            if len(out) == 3:
+                costs, actions, premasked = out
+            else:
+                costs, actions = out
             Kc = costs.shape[1]
-            if Kc != K:        # padded lanes: never elite
+            if not premasked and Kc != K:   # padded lanes: never elite
                 lane = jnp.arange(Kc)[None, :]
                 costs = jnp.where(lane < K, costs,
                                   jnp.finfo(costs.dtype).max)

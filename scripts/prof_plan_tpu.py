@@ -8,6 +8,8 @@ Prints one JSON line.
 """
 import argparse, json, os, sys, time
 import jax, jax.numpy as jnp
+jax.config.update('jax_compilation_cache_dir', '/tmp/jax_bench_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 CHAIN = 10
@@ -61,6 +63,7 @@ def main():
         lambda c, s: (c + scf(s, mean, std)[0].sum(), None),
         jnp.zeros(()), jnp.arange(CHAIN))[0])
     t_kernel = timed(kern_cost_only, jnp.int32(7))
+    print('kernel_ms', round(t_kernel*1e3,3), file=sys.stderr, flush=True)
 
     # refit-only: masked reductions over a fixed padded action buffer
     Kp = ((K + 127) // 128) * 128
@@ -81,6 +84,7 @@ def main():
         lambda c, i: (c + refit(costs_fix + i, acts_fix)[0].sum(), None),
         c0, jnp.arange(CHAIN, dtype=jnp.float32))[0])
     t_refit = timed(refit_j, jnp.zeros(()))
+    print('refit_ms', round(t_refit*1e3,3), file=sys.stderr, flush=True)
 
     # full planner call
     model_fn = lambda s, a: model.forward(params, s, a)

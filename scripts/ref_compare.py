@@ -187,7 +187,9 @@ def main():
     ap.add_argument('--initial-rollouts', type=int, default=5)
     ap.add_argument('--horizon', type=int, default=10)
     ap.add_argument('--candidates', type=int, default=200)
-    ap.add_argument('--seeds', type=int, default=2)
+    ap.add_argument('--seeds', type=int, default=5)
+    ap.add_argument('--plot', default=None,
+                    help='write a learning-curve PNG to this path')
     ap.add_argument('--skip-reference', action='store_true')
     _CFG = ap.parse_args()
 
@@ -200,6 +202,58 @@ def main():
     if not _CFG.skip_reference:
         for s in range(_CFG.seeds):
             out['reference'].append(run_reference(_CFG.task, seed=s))
+
+    # Statistical summary (BASELINE.md "within seed variance"): mean+-std
+    # of the final-iteration policy-rollout reward across seeds, plus a
+    # Welch-style overlap verdict. Engines use independent RNG streams,
+    # so the comparison is distribution-vs-distribution.
+    import math
+
+    def final_rewards(runs):
+        return [r['rewards'][-1] for r in runs if r['rewards']]
+
+    def mean_std(xs):
+        m = sum(xs) / len(xs)
+        v = sum((x - m) ** 2 for x in xs) / max(len(xs) - 1, 1)
+        return m, math.sqrt(v)
+
+    if out['ours'] and out['reference']:
+        fo, fr = final_rewards(out['ours']), final_rewards(out['reference'])
+        mo, so = mean_std(fo)
+        mr, sr = mean_std(fr)
+        se = math.sqrt(so * so / len(fo) + sr * sr / len(fr))
+        welch_t = abs(mo - mr) / max(se, 1e-9)
+        out['summary'] = {
+            'final_reward_ours': {'mean': round(mo, 3),
+                                  'std': round(so, 3), 'n': len(fo)},
+            'final_reward_reference': {'mean': round(mr, 3),
+                                       'std': round(sr, 3), 'n': len(fr)},
+            'welch_t': round(welch_t, 3),
+            'within_seed_variance': bool(welch_t < 3.0),
+        }
+
+    if _CFG.plot:
+        try:
+            import matplotlib
+            matplotlib.use('Agg')
+            import matplotlib.pyplot as plt
+            fig, ax = plt.subplots(figsize=(6, 4))
+            for i, r in enumerate(out['ours']):
+                ax.plot(r['rewards'], color='tab:blue', alpha=0.6,
+                        label='ours' if i == 0 else None)
+            for i, r in enumerate(out['reference']):
+                ax.plot(r['rewards'], color='tab:orange', alpha=0.6,
+                        label='reference (torch)' if i == 0 else None)
+            ax.set_xlabel('training iteration')
+            ax.set_ylabel('avg policy rollout reward')
+            ax.set_title(f'{_CFG.task}: learning curves, '
+                         f'{_CFG.seeds} seeds/engine')
+            ax.legend()
+            fig.tight_layout()
+            fig.savefig(_CFG.plot, dpi=110)
+            out['plot'] = _CFG.plot
+        except Exception as e:   # matplotlib optional
+            out['plot_error'] = repr(e)
     print(json.dumps(out))
 
 

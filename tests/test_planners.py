@@ -159,3 +159,32 @@ class TestCEMBatchedKernelLayouts:
 
         np.testing.assert_allclose(padded, exact, rtol=1e-6, atol=1e-6)
         np.testing.assert_allclose(grouped, exact, rtol=1e-6, atol=1e-6)
+
+    def test_ensemble_member_blocked_matches_exact(self):
+        """Ensemble return_padded contract: 3-tuple (costs (B, n*Kp),
+        actions (B, H, ad, n*Kp), True) with member-blocked lanes
+        (lane = mi*Kp + q, valid iff q < K/n) and padded-lane costs
+        PRE-masked to +max by the kernel
+        (ops.mlp_sample_rollout_costs_ensemble(return_padded=True)).
+        The trailing True makes cem_batched skip its contiguous lane<K
+        mask — which would wrongly kill valid lanes here — and refit the
+        buffer as written."""
+        B, H, AD = self.B, self.H, self.AD
+        n, Kn, Kp = 3, self.K // 3, 4       # K=6 -> 2 per member, pad to 4
+        costs, actions = self._reference_tensors()   # (B,K), (B,H,AD,K)
+        # exact layout interleaves member k % n; build the member-blocked
+        # equivalent: member mi owns candidates q*n + mi. Padded lanes
+        # get attractive junk actions (never elite iff pre-mask honored).
+        big = np.finfo(np.float32).max
+        cb = np.full((B, n * Kp), big, np.float32)
+        ab = np.full((B, H, AD, n * Kp), 7.7, np.float32)
+        for mi in range(n):
+            for q in range(Kn):
+                k = q * n + mi
+                cb[:, mi * Kp + q] = np.asarray(costs)[:, k]
+                ab[:, :, :, mi * Kp + q] = np.asarray(actions)[:, :, :, k]
+        exact = self._run(lambda seed, mean, std: (costs, actions))
+        blocked = self._run(
+            lambda seed, mean, std: (jnp.asarray(cb), jnp.asarray(ab),
+                                     True))
+        np.testing.assert_allclose(blocked, exact, rtol=1e-6, atol=1e-6)
