@@ -363,13 +363,16 @@ def phase_breakdown(task: str, B: int, K: int, H: int, cem_iters: int,
     }))
 
 
-def selfcheck(task: str, sampler: str = 'normal', compute_dtype=None):
+def selfcheck(task: str, sampler: str = 'normal', compute_dtype=None,
+              group: int = 1):
     """Assert the fused Pallas sampling kernel matches the XLA reference.
 
     Runs on the real chip immediately before timing: the kernel's costs
     must equal the scan-path rollout costs evaluated on the very actions
     the kernel sampled (mirrors tests/test_ops_kernels.py::
     test_sample_rollout_costs_parity_on_tpu, which CPU CI must skip).
+    ``group > 1`` validates the grouped-lane kernel variant — the one
+    the timed run actually uses.
     """
     import numpy as np
     from mujoco_mbrl_tpu import models, suite
@@ -391,7 +394,8 @@ def selfcheck(task: str, sampler: str = 'normal', compute_dtype=None):
     std = jnp.ones((B, H, act_dim)) * 0.5
     costs, actions = mlp_sample_rollout_costs(
         params, 7, s0, mean, std, goal, weights, num_candidates=K,
-        sampler=sampler, compute_dtype=compute_dtype)
+        sampler=sampler, compute_dtype=compute_dtype,
+        envs_per_program=group)
     flat = jnp.asarray(actions, jnp.float32).transpose(1, 0, 3, 2).reshape(
         H, B * K, act_dim)
     s0f = jnp.broadcast_to(s0[:, None], (B, K, obs_dim)).reshape(
@@ -572,14 +576,18 @@ def main():
                         "launches it saves); 'cem' = fully-fused kernel "
                         "(all CEM iterations, sampling, elite selection "
                         "and refit in one launch)")
-    p.add_argument('--group', type=int, default=1,
+    p.add_argument('--group', type=int, default=None,
                    help='envs per fused-kernel program (grouped lane '
                         'layout: G envs share each MLP matmul pass; the '
                         'elite refit consumes the grouped buffers '
-                        'directly, no un-interleave transpose)')
+                        'directly, no un-interleave transpose). Default: '
+                        'auto — 4 when the config supports it (measured '
+                        '+19%% on the walker north-star config: 10,439 '
+                        'vs 8,804 env-steps/s), else 1.')
     p.add_argument('--unroll', type=int, default=1,
-                   help='horizon-loop unroll factor inside the sampling '
-                        'kernel (amortizes Mosaic loop-carry overhead)')
+                   help='horizon-loop unroll inside the sampling kernel; '
+                        'Pallas fori_loop supports only 1 (no unroll) or '
+                        'the full horizon (complete unroll)')
     p.add_argument('--dtype', default='f32', choices=('f32', 'bf16'),
                    help='in-kernel MLP compute dtype; bf16 runs the '
                         'candidate-rollout matmuls at the MXU double '
@@ -619,16 +627,34 @@ def main():
     if args.cpu:
         jax.config.update('jax_platforms', 'cpu')
 
-    if args.group > 1:
-        # --group only reaches the kernel through the two-phase sampling
-        # path, and the kernel itself silently falls back to G=1 when the
-        # env count doesn't tile into groups (ops/cem_rollout.py) — fail
-        # loudly rather than attribute results to grouping that never ran.
+    if args.unroll not in (1, args.horizon):
+        p.error(f'--unroll must be 1 or the full horizon '
+                f'({args.horizon}): Pallas fori_loop supports no '
+                'partial unroll')
+
+    group_ok = (args.plan_kernel == 'sample'
+                and args.sampler != 'spline4'
+                and args.model == 'mlp')
+    if args.group is None:
+        # auto: grouped lanes win on the north-star config (4 envs per
+        # program share each MLP matmul pass; refit reads the grouped
+        # buffers in place) — fall back to 1 where the layout doesn't
+        # apply
+        args.group = 4 if (group_ok and args.envs % 4 == 0) else 1
+    elif args.group > 1:
+        # --group given explicitly only reaches the kernel through the
+        # two-phase sampling path, and the kernel silently falls back to
+        # G=1 when the env count doesn't tile into groups
+        # (ops/cem_rollout.py) — fail loudly rather than attribute
+        # results to grouping that never ran.
         if args.plan_kernel == 'cem':
             p.error('--group > 1 has no effect with --plan_kernel cem '
                     '(the fully-fused kernel has no grouped layout)')
         if args.sampler == 'spline4':
             p.error('--group > 1 is not supported with --sampler spline4')
+        if args.model == 'ensemble':
+            p.error('--group > 1 is not supported with --model ensemble '
+                    '(the ensemble kernel blocks lanes by member)')
         if args.envs % args.group != 0:
             p.error(f'--envs {args.envs} must be divisible by '
                     f'--group {args.group}')
@@ -688,7 +714,8 @@ def main():
         elif args.plan_kernel == 'cem':
             selfcheck_cem(args.task, args.sampler, compute_dtype)
         else:
-            selfcheck(args.task, args.sampler, compute_dtype)
+            selfcheck(args.task, args.sampler, compute_dtype,
+                      group=args.group if args.group in (2, 4) else 1)
 
     if args.full_loop:
         full_loop_bench(args.task, args.envs, args.candidates,
