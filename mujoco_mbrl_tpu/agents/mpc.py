@@ -419,12 +419,23 @@ class GoalStateAgent(MPCAgent):
              **self.planner_kwargs}['num_candidates']
 
         if not is_ens:
+            kkw = dict(self.kernel_kwargs)
+            kkw.pop('fused_cem', None)      # _plan_builder-only knob
+            # Production defaults, overridable per agent: grouped lanes
+            # (4 envs share each MLP matmul pass; measured +19% on the
+            # walker north-star bench — the kernel falls back to G=1
+            # when the env batch doesn't tile) and padded buffers
+            # consumed in place by cem_batched's elite refit (no
+            # full-HBM slice copy per iteration).
+            kkw.setdefault('envs_per_program', 4)
+            kkw.setdefault('return_padded', True)
+
             def build(obs_mat, goal_state):
                 return lambda seed, mean, std: ops.mlp_sample_rollout_costs(
                     params, seed, obs_mat, mean, std, goal_state,
                     self.state_cost_weights, normalizers=norms,
                     alpha_action=self.action_cost_alpha,
-                    num_candidates=K, **self.kernel_kwargs)
+                    num_candidates=K, **kkw)
             return build
 
         n = self.model.n
@@ -459,12 +470,15 @@ class GoalStateAgent(MPCAgent):
         return build
 
     def _plan_builder(self, params, norms):
-        """Fully-fused CEM kernel builder (ops.mlp_cem_plan): every
-        refinement iteration — sampling, rollout, elite selection, refit —
-        in a single launch, the candidate tensor VMEM-resident throughout.
-        Plain MLPDynamics only (ensembles interleave members through the
-        two-phase sampling kernel instead). Disable per agent with
-        kernel_kwargs={'fused_cem': False}."""
+        """OPT-IN fully-fused CEM kernel builder (ops.mlp_cem_plan):
+        every refinement iteration — sampling, rollout, elite selection,
+        refit — in a single launch, the candidate tensor VMEM-resident
+        throughout. NOT the production default: against the two-phase
+        sampling kernel with grouped lanes it measures ~20% slower on
+        the walker north-star bench (the in-kernel bisection top-k
+        serializes more per program than the launches it saves, and it
+        has no grouped-lane layout). Enable per agent with
+        kernel_kwargs={'fused_cem': True}; plain MLPDynamics only."""
         from .. import ops
         from ..ops.cem_rollout import _supports_pallas
         if not (_supports_pallas()
@@ -472,9 +486,10 @@ class GoalStateAgent(MPCAgent):
                 and self.model.noise is None):
             return None
         kkw = dict(self.kernel_kwargs)
-        if not kkw.pop('fused_cem', True):
+        if not kkw.pop('fused_cem', False):
             return None
         kkw.pop('envs_per_program', None)   # two-phase-kernel-only knob
+        kkw.pop('return_padded', None)      # two-phase-kernel-only knob
         cfg = {**P.CEMPlanner.defaults, **self.planner_kwargs}
 
         def build(obs_mat, goal_state):
