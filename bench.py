@@ -183,10 +183,12 @@ def full_loop_bench(task: str, B: int, K: int, H: int, cem_iters: int,
             + models.cosh_loss(actions))
         scf = None
         if use_kernel:
+            # grouped lanes (auto-falls back to G=1 if B doesn't tile)
             scf = lambda seed, mean, std: mlp_sample_rollout_costs(
                 params, seed, obs, mean, std, goal, weights,
                 normalizers=norms, num_candidates=K, sampler=sampler,
-                compute_dtype=compute_dtype, return_padded=True)
+                compute_dtype=compute_dtype, envs_per_program=4,
+                return_padded=True)
         traj = planners.cem_batched(
             key, obs, model_fn, cost, horizon=H, action_dim=act_dim,
             num_candidates=K, num_elites=max(K // 10, 1),

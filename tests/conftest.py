@@ -15,7 +15,16 @@ if '--xla_force_host_platform_device_count' not in os.environ['XLA_FLAGS']:
 
 import jax  # noqa: E402
 
-jax.config.update('jax_platforms', 'cpu')
+# TEST_PLATFORM=tpu runs the suite on the real chip instead — the heavy
+# tier (RUN_HEAVY=1: humanoid_cmu conformance, 16 heavy-threshold parity
+# tasks, contact-rich distributional parity) compiles in ~20 s/program
+# there vs minutes on XLA:CPU. The committed artifact of that run lives
+# in benchmarks/heavy_tier_r*.txt.
+_plat = os.environ.get('TEST_PLATFORM', 'cpu')
+jax.config.update('jax_platforms', _plat if _plat != 'tpu' else None)
+if _plat == 'tpu':
+    jax.config.update('jax_compilation_cache_dir', '/tmp/jax_bench_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 # NOTE: the persistent compilation cache is deliberately NOT enabled for
 # CPU test runs. On this host the XLA:CPU executable serializer segfaults
 # in compilation_cache.put_executable_and_time for some large AOT
