@@ -103,3 +103,66 @@ class PlanarWalker(composer.Entity):
     def root_xy(self, model, phys, data):
         b = model.names['body'][self.name('torso')]
         return data.xpos[b, :2]
+
+
+class CMUHumanoid(composer.Entity):
+    """CMU-mocap humanoid (56 actuated dofs) as a reusable walker entity.
+
+    The locomotion/walkers/cmu_humanoid.py analogue: instead of
+    re-declaring the 62-dof model programmatically, the suite's
+    humanoid_cmu MJCF (suite/humanoid_cmu.py) is parsed into an editable
+    element tree (builder.RootElement.from_xml_string — the PyMJCF
+    from_xml_string workflow) and stripped of its floor: arenas own the
+    ground plane. Exposes the same egocentric observable set as
+    :class:`PlanarWalker`.
+    """
+
+    def _build(self):
+        from ..suite.humanoid_cmu import _make_xml
+        root = builder.RootElement.from_xml_string(_make_xml())
+        wb = root.worldbody
+        wb.children = [c for c in wb.children
+                       if not (c.tag == 'geom'
+                               and c.attrs.get('name') == 'floor')]
+        return root
+
+    # -- egocentric observables ------------------------------------------
+    def _joint_ids(self, model):
+        """All of this entity's joints except the free root joint."""
+        prefix = self.name('')
+        return [j for name, j in model.names['joint'].items()
+                if name.startswith(prefix) and name != self.name('root')]
+
+    @composer.observable
+    def joints_pos(self, model, phys, data):
+        qadr = [int(model.jnt_qposadr[j]) for j in self._joint_ids(model)]
+        return phys.qpos[jnp.array(sorted(qadr))]
+
+    @composer.observable
+    def joints_vel(self, model, phys, data):
+        dadr = [int(model.jnt_dofadr[j]) for j in self._joint_ids(model)]
+        return phys.qvel[jnp.array(sorted(dadr))]
+
+    @composer.observable
+    def torso_height(self, model, phys, data):
+        b = model.names['body'][self.name('root')]
+        return data.xpos[b, 2]
+
+    @composer.observable
+    def torso_upright(self, model, phys, data):
+        b = model.names['body'][self.name('root')]
+        return data.ximat[b, 2, 2]
+
+    @composer.observable
+    def velocity(self, model, phys, data):
+        j = model.names['joint'][self.name('root')]
+        d = int(model.jnt_dofadr[j])
+        return phys.qvel[d:d + 6]
+
+    def forward_velocity(self, model, phys, data):
+        j = model.names['joint'][self.name('root')]
+        return phys.qvel[int(model.jnt_dofadr[j])]
+
+    def root_xy(self, model, phys, data):
+        b = model.names['body'][self.name('root')]
+        return data.xpos[b, :2]

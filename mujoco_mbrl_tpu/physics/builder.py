@@ -35,7 +35,8 @@ from . import mjcf
 
 # attributes whose values reference named elements — rewritten on attach
 _NAME_REFS = ('name', 'joint', 'tendon', 'tendon1', 'tendon2', 'site',
-              'body1', 'body2', 'class', 'childclass', 'target')
+              'body1', 'body2', 'geom1', 'geom2', 'geom', 'class',
+              'childclass', 'target')
 # attributes that define (not reference) a scoped name
 _NAME_DEFS = ('name',)
 
@@ -209,3 +210,29 @@ class RootElement(Element):
         model analogue: reference mjcf/physics.py:276)."""
         self._link_parents()
         return mjcf.parse(self.to_xml_string())
+
+    @classmethod
+    def from_xml_string(cls, xml: str) -> 'RootElement':
+        """Parse an MJCF document into an editable element tree.
+
+        The `mjcf.from_xml_string` / `from_file` analogue (reference
+        mjcf/parser.py:33-114): existing model files become attachable,
+        name-scopable entities — e.g. the suite's humanoid_cmu XML turns
+        into a reusable locomotion walker. Round-trips through
+        `to_xml_string()` / `compile()`.
+        """
+        import xml.etree.ElementTree as ET
+        src = ET.fromstring(xml)
+        if src.tag != 'mujoco':
+            raise ValueError(f'expected <mujoco> root, got <{src.tag}>')
+        root = cls(model=src.attrib.get('model', 'model'))
+
+        def replay(node, dst):
+            for child in node:
+                replay(child, dst.add(child.tag, **child.attrib))
+
+        for section in src:
+            dst = root._section(section.tag)
+            dst.attrs.update(section.attrib)
+            replay(section, dst)
+        return root

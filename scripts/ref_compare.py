@@ -147,7 +147,13 @@ def run_ours(task, seed):
 
     domain, task_name = task.rsplit('_', 1)
     env = envs.load(domain, task_name)
-    model = models.MLPDynamics(env.observation_dim, env.action_dim)
+    # size the model by the agent's PLANNING space: the per-domain goal
+    # weights live over the featured state on locomotion domains and the
+    # observation on point_mass/reacher (agents/mpc.py GoalStateAgent
+    # resolves obs_only from this dim; the reference left the mismatch
+    # as a TODO and crashes on e.g. cheetah)
+    plan_dim = int(env.get_goal_weights().shape[0])
+    model = models.MLPDynamics(plan_dim, env.action_dim)
     out_dir = f'/tmp/ref_compare_ours_{_CFG.task}_{seed}'
     import shutil
     shutil.rmtree(out_dir, ignore_errors=True)   # stale metrics corrupt curves
@@ -201,7 +207,16 @@ def main():
         out['ours'].append(run_ours(_CFG.task, seed=s))
     if not _CFG.skip_reference:
         for s in range(_CFG.seeds):
-            out['reference'].append(run_reference(_CFG.task, seed=s))
+            try:
+                out['reference'].append(run_reference(_CFG.task, seed=s))
+            except Exception as e:
+                # the reference crashes on domains where its goal-weight
+                # dim mismatches the observation (the env_wrappers.py:8
+                # TODO — e.g. cheetah: 19-dim weights vs 17-dim obs);
+                # record the failure instead of faking a comparison
+                out['reference_error'] = f'{type(e).__name__}: {e}'[:300]
+                break
+    out['reference'] = [r for r in out['reference'] if r.get('rewards')]
 
     # Statistical summary (BASELINE.md "within seed variance"): mean+-std
     # of the final-iteration policy-rollout reward across seeds, plus a
@@ -212,25 +227,32 @@ def main():
     def final_rewards(runs):
         return [r['rewards'][-1] for r in runs if r['rewards']]
 
+    def best_rewards(runs):
+        return [max(r['rewards']) for r in runs if r['rewards']]
+
     def mean_std(xs):
         m = sum(xs) / len(xs)
         v = sum((x - m) ** 2 for x in xs) / max(len(xs) - 1, 1)
         return m, math.sqrt(v)
 
     if out['ours'] and out['reference']:
-        fo, fr = final_rewards(out['ours']), final_rewards(out['reference'])
-        mo, so = mean_std(fo)
-        mr, sr = mean_std(fr)
-        se = math.sqrt(so * so / len(fo) + sr * sr / len(fr))
-        welch_t = abs(mo - mr) / max(se, 1e-9)
-        out['summary'] = {
-            'final_reward_ours': {'mean': round(mo, 3),
-                                  'std': round(so, 3), 'n': len(fo)},
-            'final_reward_reference': {'mean': round(mr, 3),
-                                       'std': round(sr, 3), 'n': len(fr)},
-            'welch_t': round(welch_t, 3),
-            'within_seed_variance': bool(welch_t < 3.0),
-        }
+        out['summary'] = {}
+        verdicts = []
+        for label, pick in (('final', final_rewards), ('best', best_rewards)):
+            fo, fr = pick(out['ours']), pick(out['reference'])
+            mo, so = mean_std(fo)
+            mr, sr = mean_std(fr)
+            se = math.sqrt(so * so / len(fo) + sr * sr / len(fr))
+            welch_t = abs(mo - mr) / max(se, 1e-9)
+            verdicts.append(welch_t < 3.0)
+            out['summary'][label] = {
+                'reward_ours': {'mean': round(mo, 3), 'std': round(so, 3),
+                                'n': len(fo)},
+                'reward_reference': {'mean': round(mr, 3),
+                                     'std': round(sr, 3), 'n': len(fr)},
+                'welch_t': round(welch_t, 3),
+            }
+        out['summary']['within_seed_variance'] = bool(all(verdicts))
 
     if _CFG.plot:
         try:

@@ -76,3 +76,29 @@ def test_xml_round_trip():
     from mujoco_mbrl_tpu.physics import mjcf
     m = mjcf.parse(xml)
     assert m.nq == 1
+
+
+class TestFromXmlString:
+    """RootElement.from_xml_string (mjcf.from_xml_string analogue):
+    existing MJCF files become editable, attachable element trees."""
+
+    def test_walker_roundtrip_compiles_identically(self):
+        import numpy as np
+        from mujoco_mbrl_tpu.physics import builder, mjcf
+        from mujoco_mbrl_tpu.suite import walker as wmod
+        m_direct = mjcf.parse(wmod._XML)
+        m_rt = builder.RootElement.from_xml_string(wmod._XML).compile()
+        assert (m_direct.njnt, m_direct.nv, m_direct.nu, m_direct.ngeom
+                ) == (m_rt.njnt, m_rt.nv, m_rt.nu, m_rt.ngeom)
+        np.testing.assert_allclose(np.asarray(m_direct.body_pos),
+                                   np.asarray(m_rt.body_pos))
+        np.testing.assert_allclose(np.asarray(m_direct.jnt_range),
+                                   np.asarray(m_rt.jnt_range))
+        np.testing.assert_allclose(np.asarray(m_direct.geom_size),
+                                   np.asarray(m_rt.geom_size))
+
+    def test_non_mujoco_root_rejected(self):
+        import pytest
+        from mujoco_mbrl_tpu.physics import builder
+        with pytest.raises(ValueError):
+            builder.RootElement.from_xml_string('<robot/>')

@@ -93,3 +93,29 @@ def test_go_to_target_sparse_reward_and_respawn():
     data_far = engine.forward(m_ep, far, jnp.zeros((m.nu,)))
     assert float(task.get_reward(m_ep, far, data_far,
                                  jnp.zeros((m.nu,)))) == 0.0
+
+
+import os as _os
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(_os.environ.get('RUN_HEAVY', '') != '1',
+                     reason='62-dof CMU compile is multi-minute on '
+                            'XLA:CPU; RUN_HEAVY=1 or TPU backend')
+def test_cmu_humanoid_go_to_target_steps():
+    """CMU humanoid as a locomotion walker entity: attach to GoToTarget,
+    reset, step with zero actions — rewards finite, entity observables
+    present (locomotion/walkers/cmu_humanoid.py analogue)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mujoco_mbrl_tpu import locomotion
+    from mujoco_mbrl_tpu.locomotion import walkers
+
+    task = locomotion.GoToTarget(walker=walkers.CMUHumanoid())
+    env = locomotion.tasks.composer.make_env(task, time_limit=5.0)
+    state, ts = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    assert any('joints_pos' in k for k in ts.observation)
+    state, ts = jax.jit(env.step)(state, jnp.zeros(env.model.nu))
+    assert np.isfinite(float(ts.reward))
+    assert env.model.nu == 56

@@ -116,3 +116,34 @@ def test_power_warmstart_matches_cold_solution():
     np.testing.assert_allclose(np.asarray(qf_warm) / scale,
                                np.asarray(qf_cold) / scale, atol=2e-3)
     assert v2.shape == v.shape
+
+
+def test_apgd_exit_satisfies_kkt_residual():
+    """The APGD early-exit must terminate at a genuine solution, not just
+    a stalled iterate: at exit, the projected-gradient residual
+    ||f - proj(f - (Ad f - rhs))|| of the dual QP must be small relative
+    to the force scale on a loaded contact scene (walker crumpled on the
+    floor, warm-started like the production substep loop)."""
+    m, phys = _walker_scene()
+    ctrl = jnp.zeros(m.nu)
+    cs, qM_chol, qacc_smooth = _solve_pieces(m, phys, ctrl)
+    qf, f, _ = solver_mod.solve_apgd(m, cs, qM_chol, qacc_smooth)
+
+    # rebuild the (unscaled) dual operator exactly as solve_apgd does
+    MinvJT = jax.scipy.linalg.cho_solve(qM_chol, cs.J.T)
+    Ad = cs.J @ MinvJT + jnp.diag(cs.R)
+    rhs = (cs.aref - cs.J @ qacc_smooth) * cs.active
+    g = Ad @ f - rhs
+
+    # project a unit gradient step the same way the solver does
+    # (nonneg rows, friction boxes, elliptic cones are absent on walker's
+    # pyramidal model -> facet rows are all nonneg)
+    nonneg, box_rows, con0 = solver_mod._row_structure(cs)
+    step = f - g / jnp.maximum(jnp.linalg.norm(Ad, ord=2), 1.0)
+    proj = step
+    if len(nonneg):
+        proj = proj.at[nonneg].set(jnp.maximum(proj[nonneg], 0.0))
+    proj = proj * cs.active
+    residual = float(jnp.linalg.norm(f - proj))
+    scale = max(float(jnp.linalg.norm(f)), 1.0)
+    assert residual / scale < 5e-3, (residual, scale)
