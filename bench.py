@@ -34,11 +34,11 @@ import jax.numpy as jnp
 
 def build_bench(task: str, B: int, K: int, H: int, cem_iters: int,
                 steps: int, sampler: str = 'triangular', compute_dtype=None,
-                plan_kernel: str = 'sample', group: int = 1,
+                group: int = 1,
                 model_kind: str = 'mlp', n_ensemble: int = 5,
                 unroll: int = 1):
     from mujoco_mbrl_tpu import models, planners, suite
-    from mujoco_mbrl_tpu.ops import (mlp_cem_plan, mlp_sample_rollout_costs,
+    from mujoco_mbrl_tpu.ops import (mlp_sample_rollout_costs,
                                      mlp_sample_rollout_costs_ensemble)
 
     domain, task_name = task.rsplit('_', 1)
@@ -74,7 +74,7 @@ def build_bench(task: str, B: int, K: int, H: int, cem_iters: int,
         # models (cartpole: 5+1 dims) the XLA scan path is faster — tile
         # padding dominates the kernel.
         from mujoco_mbrl_tpu.ops.cem_rollout import _supports_pallas
-        scf = pf = None
+        scf = None
         if obs_dim + act_dim >= 16 and _supports_pallas():
             if model_kind == 'ensemble':
                 # trailing static True = "padded-lane costs pre-masked
@@ -85,13 +85,6 @@ def build_bench(task: str, B: int, K: int, H: int, cem_iters: int,
                         num_candidates=K, n_members=n_ensemble,
                         sampler=sampler, compute_dtype=compute_dtype,
                         return_padded=True), True)
-            elif plan_kernel == 'cem':
-                # fully-fused: all CEM iterations in one kernel launch
-                pf = lambda seed, mean, std: mlp_cem_plan(
-                    params, seed, obs, mean, std, goal, weights,
-                    num_candidates=K, num_elites=max(K // 10, 1),
-                    num_iterations=cem_iters, sampler=sampler,
-                    compute_dtype=compute_dtype)[0]
             else:
                 # return_padded: hand the planner the kernel's tile-padded
                 # (grouped, with --group > 1) buffers; the refit masks
@@ -106,7 +99,7 @@ def build_bench(task: str, B: int, K: int, H: int, cem_iters: int,
         traj = planners.cem_batched(
             key, obs, model_fn, cost, horizon=H, action_dim=act_dim,
             num_candidates=K, num_elites=max(K // 10, 1),
-            num_iterations=cem_iters, sample_costs_fn=scf, plan_fn=pf,
+            num_iterations=cem_iters, sample_costs_fn=scf,
             return_states=False)
         return traj.actions[0]
 
@@ -321,7 +314,7 @@ def agent_loop_bench(task: str, B: int, K: int, H: int, cem_iters: int,
 
 def phase_breakdown(task: str, B: int, K: int, H: int, cem_iters: int,
                     sampler: str, compute_dtype=None,
-                    plan_kernel: str = 'sample', group: int = 1):
+                    group: int = 1):
     """Time the plan and physics phases as separate jitted programs.
 
     Reproducible evidence for the per-phase claims in README's
@@ -331,7 +324,7 @@ def phase_breakdown(task: str, B: int, K: int, H: int, cem_iters: int,
     """
     run, (params, state0, key) = None, (None, None, None)  # noqa: F841
     from mujoco_mbrl_tpu import models, planners, suite
-    from mujoco_mbrl_tpu.ops import mlp_cem_plan, mlp_sample_rollout_costs
+    from mujoco_mbrl_tpu.ops import mlp_sample_rollout_costs
     from mujoco_mbrl_tpu.ops.cem_rollout import _supports_pallas
 
     domain, task_name = task.rsplit('_', 1)
@@ -371,25 +364,18 @@ def phase_breakdown(task: str, B: int, K: int, H: int, cem_iters: int,
     cost = lambda states, actions: (
         models.smooth_abs_loss(states, goal, weights)
         + models.cosh_loss(actions))
-    scf = pf = None
+    scf = None
     if obs_dim + act_dim >= 16 and _supports_pallas():
-        if plan_kernel == 'cem':
-            pf = lambda seed, mean, std: mlp_cem_plan(
-                params, seed, obs, mean, std, goal, weights,
-                num_candidates=K, num_elites=max(K // 10, 1),
-                num_iterations=cem_iters, sampler=sampler,
-                compute_dtype=compute_dtype)[0]
-        else:
-            scf = lambda seed, mean, std: mlp_sample_rollout_costs(
-                params, seed, obs, mean, std, goal, weights,
-                num_candidates=K, sampler=sampler,
-                compute_dtype=compute_dtype, envs_per_program=group,
-                return_padded=True)
+        scf = lambda seed, mean, std: mlp_sample_rollout_costs(
+            params, seed, obs, mean, std, goal, weights,
+            num_candidates=K, sampler=sampler,
+            compute_dtype=compute_dtype, envs_per_program=group,
+            return_padded=True)
     def plan_once(key):
         return planners.cem_batched(
             key, obs, model_fn, cost, horizon=H, action_dim=act_dim,
             num_candidates=K, num_elites=max(K // 10, 1),
-            num_iterations=cem_iters, sample_costs_fn=scf, plan_fn=pf,
+            num_iterations=cem_iters, sample_costs_fn=scf,
             return_states=False).actions[0]
 
     plan = jax.jit(lambda key: jax.lax.scan(
@@ -465,70 +451,6 @@ def selfcheck(task: str, sampler: str = 'normal', compute_dtype=None,
     print('# selfcheck: fused kernel vs XLA parity OK '
           f'(max|d|={np.max(np.abs(np.asarray(costs) - np.asarray(ref))):.2e})',
           file=sys.stderr)
-
-
-def selfcheck_cem(task: str, sampler: str = 'normal', compute_dtype=None):
-    """Validate the fully-fused CEM kernel against the XLA reference.
-
-    Two properties, checked on the real chip before timing:
-      (1) rollout+cost: the final iteration's candidate costs must equal
-          the XLA reference path evaluated on the actions the kernel
-          itself sampled (same check as the two-phase kernel);
-      (2) elite refit: running the kernel for N and N-1 iterations with
-          the same seed shares the first N-1 iterations exactly (the
-          in-kernel PRNG stream is deterministic in seed), so the N-iter
-          mean must equal the XLA top-k refit applied to the (N-1)-iter
-          mean with the N-th iteration's costs/actions.
-    """
-    import numpy as np
-    from mujoco_mbrl_tpu import models, suite
-    from mujoco_mbrl_tpu.ops import (mlp_cem_plan,
-                                     mlp_rollout_costs_reference)
-
-    domain, task_name = task.rsplit('_', 1)
-    env = suite.load(domain, task_name)
-    _, ts0 = env.reset(jax.random.PRNGKey(0))
-    obs_dim = suite.flatten_observation(ts0.observation).shape[0]
-    act_dim = env.model.nu
-    model = models.MLPDynamics(obs_dim, act_dim, hidden_units=50)
-    params = model.init(jax.random.PRNGKey(1))
-    goal = jnp.zeros(obs_dim)
-    weights = jnp.ones(obs_dim)
-    B, K, H, E, A = 4, 256, 8, 25, 0.1
-    s0 = jax.random.normal(jax.random.PRNGKey(2), (B, obs_dim))
-    mean0 = jnp.zeros((B, H, act_dim))
-    std0 = jnp.full((B, H, act_dim), 0.5)
-    kw = dict(num_candidates=K, num_elites=E, sampler=sampler,
-              compute_dtype=compute_dtype, alpha=A)
-    mean2, costs2, acts2 = mlp_cem_plan(params, 7, s0, mean0, std0, goal,
-                                        weights, num_iterations=2, **kw)
-    mean1, _, _ = mlp_cem_plan(params, 7, s0, mean0, std0, goal, weights,
-                               num_iterations=1, **kw)
-    # (1) cost parity on the kernel's own sampled actions
-    flat = jnp.asarray(acts2, jnp.float32).transpose(1, 0, 3, 2).reshape(
-        H, B * K, act_dim)
-    s0f = jnp.broadcast_to(s0[:, None], (B, K, obs_dim)).reshape(
-        B * K, obs_dim)
-    ref = mlp_rollout_costs_reference(params, s0f, flat, goal,
-                                      weights).reshape(B, K)
-    rtol, atol = (5e-2, 5e-1) if compute_dtype is not None else (1e-4, 1e-4)
-    np.testing.assert_allclose(np.asarray(costs2), np.asarray(ref),
-                               rtol=rtol, atol=atol,
-                               err_msg='fused CEM kernel rollout costs '
-                                       'diverged from the XLA reference')
-    # (2) refit parity: XLA top-k refit of (mean1, costs2, acts2) == mean2
-    _, elite_idx = jax.lax.top_k(-costs2, E)             # (B, E)
-    member = jnp.zeros((B, K)).at[
-        jnp.arange(B)[:, None], elite_idx].set(1.0)
-    a32 = jnp.asarray(acts2, jnp.float32)                # (B, H, ad, K)
-    s1 = jnp.einsum('bhdk,bk->bhd', a32, member) / E
-    expect = A * mean1 + (1 - A) * s1
-    np.testing.assert_allclose(np.asarray(mean2), np.asarray(expect),
-                               rtol=1e-4, atol=1e-4,
-                               err_msg='fused CEM kernel elite refit '
-                                       'diverged from the XLA top-k refit')
-    print('# selfcheck: fused CEM kernel (rollout costs + elite refit) '
-          'vs XLA parity OK', file=sys.stderr)
 
 
 def selfcheck_ensemble(task: str, n: int = 5, sampler: str = 'normal',
@@ -619,15 +541,6 @@ def main():
                         '(Irwin-Hall 2, unit variance) avoids Box-Muller '
                         'transcendentals on the VPU; spline4 adds '
                         'iCEM-style low-frequency temporal correlation')
-    p.add_argument('--plan_kernel', default='sample',
-                   choices=('sample', 'cem'),
-                   help="'sample' = per-iteration fused sampling+rollout "
-                        "kernel with XLA top-k refit (measured fastest: "
-                        "the in-kernel bisection top-k of 'cem' "
-                        "serializes ~10%% more per program than the 3 "
-                        "launches it saves); 'cem' = fully-fused kernel "
-                        "(all CEM iterations, sampling, elite selection "
-                        "and refit in one launch)")
     p.add_argument('--group', type=int, default=None,
                    help='envs per fused-kernel program (grouped lane '
                         'layout: G envs share each MLP matmul pass; the '
@@ -689,8 +602,7 @@ def main():
                 f'({args.horizon}): Pallas fori_loop supports no '
                 'partial unroll')
 
-    group_ok = (args.plan_kernel == 'sample'
-                and args.sampler != 'spline4'
+    group_ok = (args.sampler != 'spline4'
                 and args.model == 'mlp')
     if args.group is None:
         # auto: grouped lanes win on the north-star config (4 envs per
@@ -704,9 +616,6 @@ def main():
         # G=1 when the env count doesn't tile into groups
         # (ops/cem_rollout.py) — fail loudly rather than attribute
         # results to grouping that never ran.
-        if args.plan_kernel == 'cem':
-            p.error('--group > 1 has no effect with --plan_kernel cem '
-                    '(the fully-fused kernel has no grouped layout)')
         if args.sampler == 'spline4':
             p.error('--group > 1 is not supported with --sampler spline4')
         if args.model == 'ensemble':
@@ -758,7 +667,7 @@ def main():
     if args.phases:
         phase_breakdown(args.task, args.envs, args.candidates,
                         args.horizon, args.cem_iters, args.sampler,
-                        compute_dtype, args.plan_kernel, args.group)
+                        compute_dtype, args.group)
         return 0
 
     on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
@@ -768,8 +677,6 @@ def main():
         if args.model == 'ensemble':
             selfcheck_ensemble(args.task, args.n_ensemble, args.sampler,
                                compute_dtype)
-        elif args.plan_kernel == 'cem':
-            selfcheck_cem(args.task, args.sampler, compute_dtype)
         else:
             selfcheck(args.task, args.sampler, compute_dtype,
                       group=args.group if args.group in (2, 4) else 1)
@@ -790,7 +697,7 @@ def main():
     run, (params, state0, key) = build_bench(
         args.task, args.envs, args.candidates, args.horizon,
         args.cem_iters, args.steps, args.sampler, compute_dtype,
-        args.plan_kernel, args.group, args.model, args.n_ensemble,
+        args.group, args.model, args.n_ensemble,
         args.unroll)
 
     # compile + warmup

@@ -111,7 +111,6 @@ class BatchedMPCPolicy:
                  planner_kwargs: Optional[dict] = None,
                  rollout_costs_fn: Optional[Callable] = None,
                  sample_costs_builder: Optional[Callable] = None,
-                 plan_builder: Optional[Callable] = None,
                  plan_on_observations: bool = True):
         self.model = model
         self.cost = cost
@@ -125,10 +124,6 @@ class BatchedMPCPolicy:
         # builder(obs_mat) -> sample_costs_fn: binds the per-step initial
         # states into the fully-fused sampling kernel (TPU only)
         self.sample_costs_builder = sample_costs_builder
-        # builder(obs_mat) -> plan_fn: the fully-fused CEM kernel (every
-        # iteration in one launch, ops.mlp_cem_plan); preferred over
-        # sample_costs_builder when both are available
-        self.plan_builder = plan_builder
         self.plan_on_observations = plan_on_observations
 
     def init_carry(self):
@@ -142,11 +137,8 @@ class BatchedMPCPolicy:
         valid = jnp.logical_and(valid, t != 0)
         init_mean = jnp.where(valid, last_actions,
                               jnp.zeros_like(last_actions))
-        pf = (self.plan_builder(obs_mat)
-              if self.plan_builder is not None else None)
         scf = (self.sample_costs_builder(obs_mat)
-               if pf is None and self.sample_costs_builder is not None
-               else None)
+               if self.sample_costs_builder is not None else None)
         traj = P.cem_batched(
             key, obs_mat, self.model, self.cost, self.horizon,
             self.action_dim,
@@ -156,9 +148,9 @@ class BatchedMPCPolicy:
             init_mean=init_mean.transpose(1, 0, 2),
             action_low=self.cfg['action_low'],
             action_high=self.cfg['action_high'],
-            rollout_costs_fn=None if (scf is not None or pf is not None)
+            rollout_costs_fn=None if scf is not None
             else self.rollout_costs_fn,
-            sample_costs_fn=scf, plan_fn=pf,
+            sample_costs_fn=scf,
             return_states=False)
         return traj.actions[0], (jnp.ones((), jnp.bool_), traj.actions)
 
@@ -389,14 +381,11 @@ class GoalStateAgent(MPCAgent):
         build = self._sample_costs_builder(params, norms)
         scb = ((lambda obs: build(obs, goal_state))
                if build is not None else None)
-        pbuild = self._plan_builder(params, norms)
-        pb = ((lambda obs: pbuild(obs, goal_state))
-              if pbuild is not None else None)
         return BatchedMPCPolicy(
             model=model_fn, cost=cost, horizon=self.horizon,
             action_dim=env.action_dim, num_envs=n,
             planner_kwargs=self.planner_kwargs, rollout_costs_fn=rc,
-            sample_costs_builder=scb, plan_builder=pb,
+            sample_costs_builder=scb,
             plan_on_observations=self.obs_only)
 
     def _sample_costs_builder(self, params, norms):
@@ -420,7 +409,6 @@ class GoalStateAgent(MPCAgent):
 
         if not is_ens:
             kkw = dict(self.kernel_kwargs)
-            kkw.pop('fused_cem', None)      # _plan_builder-only knob
             # Production defaults, overridable per agent: grouped lanes
             # (4 envs share each MLP matmul pass; measured +19% on the
             # walker north-star bench — the kernel falls back to G=1
@@ -452,7 +440,6 @@ class GoalStateAgent(MPCAgent):
         kkw = dict(self.kernel_kwargs)
         kkw.pop('envs_per_program', None)   # single-MLP-kernel-only knob
         kkw.pop('return_padded', None)      # ensemble decode needs exact K
-        kkw.pop('fused_cem', None)          # _plan_builder-only knob
 
         def build(obs_mat, goal_state):
             # one launch, one program per env with all members' lanes
@@ -467,43 +454,6 @@ class GoalStateAgent(MPCAgent):
                     alpha_action=self.action_cost_alpha,
                     num_candidates=K, n_members=n, return_padded=True,
                     **kkw), True)
-        return build
-
-    def _plan_builder(self, params, norms):
-        """OPT-IN fully-fused CEM kernel builder (ops.mlp_cem_plan):
-        every refinement iteration — sampling, rollout, elite selection,
-        refit — in a single launch, the candidate tensor VMEM-resident
-        throughout. NOT the production default: against the two-phase
-        sampling kernel with grouped lanes it measures ~20% slower on
-        the walker north-star bench (the in-kernel bisection top-k
-        serializes more per program than the launches it saves, and it
-        has no grouped-lane layout). Enable per agent with
-        kernel_kwargs={'fused_cem': True}; plain MLPDynamics only."""
-        from .. import ops
-        from ..ops.cem_rollout import _supports_pallas
-        if not (_supports_pallas()
-                and type(self.model) is Mo.MLPDynamics
-                and self.model.noise is None):
-            return None
-        kkw = dict(self.kernel_kwargs)
-        if not kkw.pop('fused_cem', False):
-            return None
-        kkw.pop('envs_per_program', None)   # two-phase-kernel-only knob
-        kkw.pop('return_padded', None)      # two-phase-kernel-only knob
-        cfg = {**P.CEMPlanner.defaults, **self.planner_kwargs}
-
-        def build(obs_mat, goal_state):
-            return lambda seed, mean, std: ops.mlp_cem_plan(
-                params, seed, obs_mat, mean, std, goal_state,
-                self.state_cost_weights, normalizers=norms,
-                alpha_action=self.action_cost_alpha,
-                num_candidates=cfg['num_candidates'],
-                num_elites=cfg['num_elites'],
-                num_iterations=cfg['num_iterations'],
-                alpha=cfg.get('alpha', 0.1),
-                min_std=cfg.get('min_std', 1e-2),
-                action_low=cfg['action_low'],
-                action_high=cfg['action_high'], **kkw)[0]
         return build
 
     def _policy_collect(self, n):

@@ -7,11 +7,11 @@ Each op ships with a pure-jnp reference implementation used on CPU and in
 parity tests.
 """
 
-from .cem_rollout import (mlp_cem_plan, mlp_rollout_costs,
+from .cem_rollout import (mlp_rollout_costs,
                           mlp_rollout_costs_reference, mlp_rollout_costs_t,
                           mlp_sample_rollout_costs,
                           mlp_sample_rollout_costs_ensemble)
 
-__all__ = ['mlp_cem_plan', 'mlp_rollout_costs',
+__all__ = ['mlp_rollout_costs',
            'mlp_rollout_costs_reference', 'mlp_rollout_costs_t',
            'mlp_sample_rollout_costs', 'mlp_sample_rollout_costs_ensemble']

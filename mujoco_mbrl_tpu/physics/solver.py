@@ -532,6 +532,7 @@ def solve_apgd(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
     v_flat = jnp.ones((cs.J.shape[0],), dtype) / (cs.J.shape[0] ** 0.5)
     if power_v0 is None:
         v = jax.lax.fori_loop(0, 24, power, v_flat)
+        L = 1.5 * jnp.maximum(v @ (Ad @ v), 1.0)  # unit diag -> L >= 1
     else:
         # warm start: renormalize the carried estimate, fall back to the
         # flat vector if it degenerated (e.g. all-zero after masking)
@@ -539,7 +540,24 @@ def solve_apgd(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
         v0 = jnp.where(nrm > 1e-12, power_v0 / jnp.maximum(nrm, 1e-12),
                        v_flat)
         v = jax.lax.fori_loop(0, 6, power, v0)
-    L = 1.5 * jnp.maximum(v @ (Ad @ v), 1.0)  # unit diagonal -> L >= 1
+        r6 = v @ (Ad @ v)
+        v = jax.lax.fori_loop(0, 2, power, v)
+        r8 = v @ (Ad @ v)
+        # Rayleigh-quotient staleness check: under power iteration on a
+        # symmetric PSD matrix the quotient rises monotonically toward
+        # lambda_max, so a quotient still moving after 8 warm iterations
+        # means the carried eigenvector is stale (the active contact set
+        # changed between substeps) and 1.5*r8 may understate lambda_max
+        # enough for the 1/L APGD step to overshoot. For such solves use
+        # the certain upper bound max_i sum_j |Ad_ij| (the induced
+        # inf-norm of a symmetric matrix bounds its spectral radius):
+        # guaranteed convergence at a somewhat smaller step, paid only
+        # on contact-set-change substeps. (A lax.cond with extra
+        # iterations would not help: this path is vmapped over envs, so
+        # cond lowers to select and both branches would always run.)
+        safe_L = jnp.maximum(jnp.max(jnp.sum(jnp.abs(Ad), axis=1)), 1.0)
+        stale = (r8 - r6) > 0.02 * jnp.maximum(r8, 1e-12)
+        L = jnp.where(stale, safe_L, 1.5 * jnp.maximum(r8, 1.0))
 
     # Projection as dense masked math on the full row vector: the loop
     # body must not gather/scatter (under vmap each .at[idx].set is a

@@ -151,7 +151,6 @@ def cem_batched(key: jax.Array, initial_states: jnp.ndarray,
                 min_std: float = 1e-2, alpha: float = 0.1,
                 rollout_costs_fn: Optional[Callable] = None,
                 sample_costs_fn: Optional[Callable] = None,
-                plan_fn: Optional[Callable] = None,
                 return_states: bool = True) -> Trajectory:
     """CEM for a whole env batch in ONE call (the lockstep-MPC hot path).
 
@@ -224,7 +223,27 @@ def cem_batched(key: jax.Array, initial_states: jnp.ndarray,
                 lane = jnp.arange(Kc)[None, :]
                 costs = jnp.where(lane < K, costs,
                                   jnp.finfo(costs.dtype).max)
-            if actions.shape[0] != B:   # grouped lane layout
+            if actions.ndim == 5:
+                # ensemble member-sharded grouped layout
+                # (n, BG, H, ad, G*Kn): candidate k = mi*Kn + q of env
+                # b = g*G + e lives at actions[mi, g, :, :, e*Kn + q];
+                # costs are exact-K (no padded lanes). Same
+                # masked-reduction refit as the grouped branch, with the
+                # member axis folded into the lane sum.
+                n_m, BG = actions.shape[0], actions.shape[1]
+                G = B // BG
+                Kn = actions.shape[-1] // G
+                _, eidx = jax.lax.top_k(-costs, num_elites)
+                mem = jnp.zeros((B, Kc), dtype).at[
+                    jnp.arange(B)[:, None], eidx].set(1.0)
+                mg = mem.reshape(BG, G, n_m, Kn).transpose(
+                    2, 0, 1, 3)[:, :, None, None]   # (n, BG, 1, 1, G, Kn)
+                a_g = actions.reshape(n_m, BG, H, ad, G, Kn)
+                s1 = jnp.sum(a_g * mg, axis=(0, -1))       # (BG, H, ad, G)
+                s2 = jnp.sum(a_g * a_g * mg, axis=(0, -1))
+                sum1 = s1.transpose(0, 3, 1, 2).reshape(B, H, ad)
+                sum2 = s2.transpose(0, 3, 1, 2).reshape(B, H, ad)
+            elif actions.shape[0] != B:   # grouped lane layout
                 BG = actions.shape[0]
                 G = B // BG
                 Kp = actions.shape[-1] // G
@@ -269,15 +288,8 @@ def cem_batched(key: jax.Array, initial_states: jnp.ndarray,
         std = jnp.maximum(alpha * std + (1 - alpha) * new_std, min_std)
         return (mean, std), None
 
-    if plan_fn is not None:
-        # fully-fused path (ops.mlp_cem_plan): ALL CEM iterations —
-        # sampling, rollout, elite selection, refit — run inside one
-        # kernel launch; plan_fn(seed, mean, std) -> refit mean (B, H, ad)
-        seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
-        mean = plan_fn(seed, mean, std).astype(dtype)
-    else:
-        (mean, std), _ = jax.lax.scan(
-            iteration, (mean, std), jax.random.split(key, num_iterations))
+    (mean, std), _ = jax.lax.scan(
+        iteration, (mean, std), jax.random.split(key, num_iterations))
 
     final_actions = jnp.clip(mean, action_low, action_high)  # (B, H, ad)
     acts_t = final_actions.transpose(1, 0, 2)                # (H, B, ad)

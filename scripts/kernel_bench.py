@@ -19,7 +19,7 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 from mujoco_mbrl_tpu import models  # noqa: E402
-from mujoco_mbrl_tpu.ops import (mlp_cem_plan,  # noqa: E402
+from mujoco_mbrl_tpu.ops import (  # noqa: E402
                                  mlp_sample_rollout_costs)
 
 
@@ -102,25 +102,6 @@ def main():
                           'ms_per_plan': round(t * 1e3, 2),
                           'ms_per_iter': round(t * 1e3 / args.iters, 2)}),
               flush=True)
-
-    for sampler in ('normal', 'triangular'):
-        for dt in (None, jnp.bfloat16):
-            def plan_c(seed, sampler=sampler, dt=dt):
-                return mlp_cem_plan(
-                    params, seed, s0, mean, std, goal, weights,
-                    num_candidates=K, num_elites=100,
-                    num_iterations=args.iters, sampler=sampler,
-                    compute_dtype=dt)[0].sum()
-
-            f = jax.jit(lambda seed: jax.lax.scan(
-                lambda c, s: (c + plan_c(s), None), jnp.zeros(()),
-                seed + jnp.arange(CHAIN))[0])
-            t = timed(f, 7)
-            print(json.dumps({'kernel': 'cem', 'sampler': sampler,
-                              'dtype': 'bf16' if dt else 'f32',
-                              'B': B, 'ms_per_plan': round(t * 1e3, 2),
-                              'ms_per_iter': round(t * 1e3 / args.iters,
-                                                   2)}), flush=True)
 
 
 if __name__ == '__main__':

@@ -176,48 +176,6 @@ def test_sample_rollout_costs_parity_on_tpu(setup):
 
 
 @pytest.mark.skipif(not _ON_TPU, reason='in-kernel PRNG (pltpu.prng_*) '
-                    'has no CPU lowering; validated on TPU hardware '
-                    '(and by bench.py --selfcheck every round)')
-def test_cem_plan_kernel_parity_on_tpu(setup):
-    """Fully-fused CEM kernel: (a) the final iteration's costs must equal
-    the XLA reference rollout on the kernel's own sampled actions;
-    (b) the N-iteration mean must equal the XLA top-k refit applied to
-    the (N-1)-iteration mean (same seed => identical PRNG prefix) with
-    the N-th iteration's costs/actions."""
-    from mujoco_mbrl_tpu.ops import mlp_cem_plan, mlp_rollout_costs_reference
-    model, params, _s0, _acts, goal, w = setup
-    B, K, H, E, A = 3, 128, 6, 16, 0.1
-    sd, ad = model.state_dim, model.action_dim
-    s0 = jax.random.normal(jax.random.PRNGKey(11), (B, sd))
-    mean0 = jnp.zeros((B, H, ad))
-    std0 = jnp.full((B, H, ad), 0.5)
-    kw = dict(num_candidates=K, num_elites=E, alpha=A)
-    mean2, costs2, acts2 = mlp_cem_plan(params, 5, s0, mean0, std0, goal, w,
-                                        num_iterations=2, **kw)
-    mean1, _, _ = mlp_cem_plan(params, 5, s0, mean0, std0, goal, w,
-                               num_iterations=1, **kw)
-    flat = jnp.asarray(acts2).transpose(1, 0, 3, 2).reshape(H, B * K, ad)
-    s0f = jnp.broadcast_to(s0[:, None], (B, K, sd)).reshape(B * K, sd)
-    ref = mlp_rollout_costs_reference(params, s0f, flat, goal,
-                                      w).reshape(B, K)
-    np.testing.assert_allclose(np.asarray(costs2), np.asarray(ref),
-                               rtol=1e-4, atol=1e-4)
-    _, elite_idx = jax.lax.top_k(-costs2, E)
-    member = jnp.zeros((B, K)).at[
-        jnp.arange(B)[:, None], elite_idx].set(1.0)
-    s1 = jnp.einsum('bhdk,bk->bhd', jnp.asarray(acts2, jnp.float32),
-                    member) / E
-    expect = A * mean1 + (1 - A) * s1
-    np.testing.assert_allclose(np.asarray(mean2), np.asarray(expect),
-                               rtol=1e-4, atol=1e-4)
-    # determinism in seed
-    m2b, c2b, _ = mlp_cem_plan(params, 5, s0, mean0, std0, goal, w,
-                               num_iterations=2, **kw)
-    np.testing.assert_array_equal(np.asarray(mean2), np.asarray(m2b))
-    np.testing.assert_array_equal(np.asarray(costs2), np.asarray(c2b))
-
-
-@pytest.mark.skipif(not _ON_TPU, reason='in-kernel PRNG (pltpu.prng_*) '
                                         'has no CPU lowering')
 def test_ensemble_sample_kernel_parity_on_tpu():
     """One-launch (member, env)-gridded ensemble kernel: candidate k must

@@ -45,8 +45,9 @@ def _our_stats(domain, task, n_seeds, n_steps):
     m = env.model
     pairs = collision.candidate_pairs(
         m, include_geom_geom=m.opt.enable_geom_geom_contacts)
+    from mujoco_mbrl_tpu.physics.model import DSBL_CONTACT
     has_contacts = bool(pairs) and not (m.opt.disableflags
-                                        & 0)  # pairs already gate
+                                        & DSBL_CONTACT)
     spec = env.action_spec()
     lo = np.clip(np.where(np.isfinite(spec.minimum), spec.minimum, -1.0),
                  -1.0, 1.0)

@@ -147,3 +147,38 @@ def test_apgd_exit_satisfies_kkt_residual():
     residual = float(jnp.linalg.norm(f - proj))
     scale = max(float(jnp.linalg.norm(f)), 1.0)
     assert residual / scale < 5e-3, (residual, scale)
+
+
+def test_power_warmstart_across_contact_set_change():
+    """Carrying the power-iteration eigenvector across a CONTACT-SET
+    change must not destabilize the solve: the warm 6(+2)-iteration
+    spectral estimate guards itself with a Rayleigh-quotient staleness
+    check (still-rising quotient -> certain inf-norm upper bound), so
+    forces solved with a stale carried vector must match the cold
+    solution and the accelerations must stay finite."""
+    m, phys1 = _walker_scene()
+    ctrl = jnp.zeros(m.nu)
+    # a second, differently-loaded configuration: stop the fall earlier
+    # so a different subset of geoms is in contact
+    env = suite.load('walker', 'stand')
+    st, _ = env.reset(jax.random.PRNGKey(3))
+    phys2 = jax.jit(lambda s: engine.substep(m, s, jnp.zeros(m.nu), 60))(
+        st.physics)
+    cs1, chol1, acc1 = _solve_pieces(m, phys1, ctrl)
+    cs2, chol2, acc2 = _solve_pieces(m, phys2, ctrl)
+    n1 = int(np.asarray(jnp.sum(cs1.active)))
+    n2 = int(np.asarray(jnp.sum(cs2.active)))
+    assert n1 != n2, ('configurations share the active-row count; the '
+                      'test needs a real contact-set change '
+                      f'({n1} vs {n2})')
+    # eigenvector carried from scene 1 ...
+    _, _, v1 = solver_mod.solve_apgd(m, cs1, chol1, acc1, iterations=400)
+    # ... applied (stale) to scene 2
+    qf_cold, _, _ = solver_mod.solve_apgd(m, cs2, chol2, acc2,
+                                          iterations=400)
+    qf_stale, f_stale, _ = solver_mod.solve_apgd(
+        m, cs2, chol2, acc2, iterations=400, power_v0=v1)
+    assert bool(jnp.all(jnp.isfinite(f_stale)))
+    scale = max(float(jnp.abs(qf_cold).max()), 1.0)
+    np.testing.assert_allclose(np.asarray(qf_stale) / scale,
+                               np.asarray(qf_cold) / scale, atol=2e-3)
