@@ -1,0 +1,250 @@
+"""Fused batched APGD constraint solve (Pallas, TPU).
+
+The constraint solve is the serial tail of every physics substep
+(SURVEY §3.2: the reference runs it row-sequentially inside libmujoco's
+mj_fwdConstraint; our TPU redesign solves the dual QP with accelerated
+projected gradient descent, physics/solver.py:solve_apgd). As an XLA
+``lax.while_loop`` under ``vmap`` the iteration is correct but
+bandwidth-bound: every APGD iteration re-reads the batched
+preconditioned matrix ``Ad`` — (B, nr, nr) ≈ 10 MB at B=1024 walker
+rows — from HBM, and the power-iteration warm start pays the same per
+matvec. At ~60 surviving iterations × 10 substeps that is several GB of
+redundant HBM traffic per control step.
+
+This kernel runs the WHOLE iterate — power-iteration step-size
+estimate, Nesterov APGD loop, friction-cone projection, per-env early
+exit — in one launch, with each program holding its env block's ``Ad``
+resident in VMEM. Layout: envs ride the lane (last) axis (E=128 per
+program), constraint rows ride sublanes, so the per-env matvec is an
+unrolled sum of (nr, E) FMAs on the VPU and every projection/reduction
+is a lane-parallel (1, E) op. ``Ad`` is symmetric, so row slices double
+as column slices and the matvec needs no transpose.
+
+HBM traffic per solve collapses to one read of ``Ad`` + vectors and one
+write of (f, v): ~60x less than the XLA loop at production batch sizes.
+
+Semantics match physics/solver.py:solve_apgd exactly (same
+preconditioning, same Rayleigh staleness guard, same adaptive-restart
+momentum, same convergence test); tests/test_apgd_kernel.py checks the
+kernel against the XLA iterate row-for-row.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Largest row count the envs-on-lanes layout accepts: VMEM per program is
+# nr*nr*128*4 B for Ad (56x56x128x4 = 1.6 MB at walker's nr) plus ~10
+# vectors; past ~96 rows the block no longer leaves headroom for Mosaic's
+# own scratch and big-humanoid models fall back to the XLA iterate.
+MAX_NR = 96
+ENVS_PER_PROGRAM = 128
+
+
+def _shift_up(x, k):
+    """Roll rows up by k (row i holds x[i+k]), static k, sublane axis."""
+    return jnp.concatenate([x[k:], x[:k]], axis=0)
+
+
+def _shift_down(x, k):
+    """Roll rows down by k (row i holds x[i-k])."""
+    return jnp.concatenate([x[-k:], x[:-k]], axis=0)
+
+
+def _apgd_kernel(ad_ref, rhs_ref, f0_ref, v0_ref, act_ref, bnd_ref,
+                 mnn_ref, mbox_ref, mn_ref, mu_ref,
+                 f_out, v_out, *, nr: int, iterations: int, cold: bool,
+                 has_nonneg: bool, has_box: bool, has_cone: bool,
+                 tol2: float):
+    """One env block: power-iteration L estimate + APGD to convergence."""
+    f32 = jnp.float32
+    rhs = rhs_ref[:]                      # (nr, E)
+    active = act_ref[:]
+
+    def matvec(y):
+        # Ad symmetric: ad_ref[j] is row j == column j, an (nr, E) slab.
+        acc = ad_ref[0] * y[0:1]
+        for j in range(1, nr):            # static unroll, nr <= MAX_NR
+            acc = acc + ad_ref[j] * y[j:j + 1]
+        return acc
+
+    # ---- step size from the preconditioned spectral radius ------------
+    def pstep(_, v):
+        w = matvec(v)
+        n2 = jnp.sum(w * w, axis=0, keepdims=True)          # (1, E)
+        return w * jax.lax.rsqrt(jnp.maximum(n2, 1e-24))
+
+    flat = jnp.full((nr, 1), 1.0 / (nr ** 0.5), f32)
+    if cold:
+        v = jax.lax.fori_loop(0, 24, pstep, flat * jnp.ones_like(rhs))
+        r = jnp.sum(v * matvec(v), axis=0, keepdims=True)
+        L = 1.5 * jnp.maximum(r, 1.0)
+    else:
+        v0 = v0_ref[:]
+        n2 = jnp.sum(v0 * v0, axis=0, keepdims=True)
+        v = jnp.where(n2 > 1e-24,
+                      v0 * jax.lax.rsqrt(jnp.maximum(n2, 1e-24)),
+                      flat)
+        v = jax.lax.fori_loop(0, 6, pstep, v)
+        r6 = jnp.sum(v * matvec(v), axis=0, keepdims=True)
+        v = jax.lax.fori_loop(0, 2, pstep, v)
+        r8 = jnp.sum(v * matvec(v), axis=0, keepdims=True)
+        # Rayleigh staleness guard (solver.py): quotient still rising
+        # after 8 warm iterations => carried eigenvector is stale; use
+        # the certain inf-norm bound instead.
+        rs = jnp.abs(ad_ref[0])
+        for j in range(1, nr):
+            rs = rs + jnp.abs(ad_ref[j])
+        safe_L = jnp.maximum(jnp.max(rs, axis=0, keepdims=True), 1.0)
+        stale = (r8 - r6) > 0.02 * jnp.maximum(r8, 1e-12)
+        L = jnp.where(stale, safe_L, 1.5 * jnp.maximum(r8, 1.0))
+
+    # ---- projection (masked dense math, identical to solver.py) -------
+    mnn = mnn_ref[:] if has_nonneg else None          # (nr, 1)
+    mbox = mbox_ref[:] if has_box else None
+    if has_cone:
+        mn = mn_ref[:]                                # (nr, 1) normals
+        mt1 = _shift_down(mn, 1)
+        mt2 = _shift_down(mn, 2)
+        mu = mu_ref[:]                                # (nr, 1), at normals
+    bnd = bnd_ref[:] if has_box else None             # (nr, E)
+
+    def proj(f):
+        if has_nonneg:
+            f = jnp.where(mnn > 0, jnp.maximum(f, 0.0), f)
+        if has_box:
+            f = jnp.where(mbox > 0, jnp.clip(f, -bnd, bnd), f)
+        if has_cone:
+            ft1 = _shift_up(f, 1)
+            ft2 = _shift_up(f, 2)
+            t = jnp.sqrt(ft1 * ft1 + ft2 * ft2)
+            inside = t <= mu * f
+            apex = mu * t + f <= 0.0
+            fn_s = jnp.where(inside, f,
+                             jnp.where(apex, 0.0,
+                                       (f + mu * t) / (1.0 + mu * mu)))
+            tscale = jnp.where(inside, 1.0,
+                               jnp.where(apex, 0.0,
+                                         mu * fn_s / jnp.maximum(t, 1e-12)))
+            tscale = jnp.where(mn > 0, tscale, 1.0)
+            f = jnp.where(mn > 0, fn_s, f)
+            f = f * jnp.where(mt1 > 0, _shift_down(tscale, 1), 1.0)
+            f = f * jnp.where(mt2 > 0, _shift_down(tscale, 2), 1.0)
+        return f * active
+
+    f0 = proj(f0_ref[:])
+
+    # ---- Nesterov APGD with per-env convergence, block-level exit -----
+    tol2c = jnp.asarray(tol2, f32)
+
+    def cond(carry):
+        f, y, theta, it, done = carry
+        return jnp.logical_and(it < iterations,
+                               jnp.logical_not(jnp.all(done > 0)))
+
+    def body(carry):
+        f, y, theta, it, done = carry
+        g = matvec(y) - rhs
+        f_new = proj(y - g / L)
+        theta_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * theta * theta))
+        beta = (theta - 1.0) / theta_new
+        restart = (jnp.sum((y - f_new) * (f_new - f), axis=0,
+                           keepdims=True) > 0.0)
+        beta = jnp.where(restart, 0.0, beta)
+        y_new = f_new + beta * (f_new - f)
+        d2 = jnp.sum((f_new - f) ** 2, axis=0, keepdims=True)
+        conv = d2 <= tol2c * (1e-12 + jnp.sum(f_new * f_new, axis=0,
+                                              keepdims=True))
+        # freeze converged envs (matches vmapped-while masking semantics)
+        frozen = done > 0
+        f_new = jnp.where(frozen, f, f_new)
+        y_new = jnp.where(frozen, y, y_new)
+        theta_new = jnp.where(frozen, theta,
+                              jnp.where(restart, 1.0, theta_new))
+        done = jnp.maximum(done, conv.astype(f32))
+        return (f_new, y_new, theta_new, it + 1, done)
+
+    theta0 = jnp.ones((1, rhs.shape[1]), f32)
+    done0 = jnp.zeros((1, rhs.shape[1]), f32)
+    f, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (f0, f0, theta0, jnp.zeros((), jnp.int32), done0))
+
+    f_out[:] = f
+    v_out[:] = v
+
+
+@functools.partial(
+    jax.jit, static_argnames=('nonneg', 'box_rows', 'con0', 'iterations',
+                              'cold', 'tol2', 'interpret'))
+def apgd_iterate_batched(Ad, rhs, f0, v0, active, mu_full, bounds_full,
+                         *, nonneg, box_rows, con0, iterations: int,
+                         cold: bool, tol2: float = 1e-12,
+                         interpret: bool = False):
+    """Batched APGD iterate: one kernel launch over the env batch.
+
+    Args (batched leading axis B): Ad (B, nr, nr) symmetric PSD
+    preconditioned matrix, rhs (B, nr), f0 (B, nr) scaled warm start
+    (projected in-kernel), v0 (B, nr) power-iteration warm vector
+    (ignored when ``cold``), active (B, nr). Unbatched: mu_full (nr,)
+    friction coefficients placed at cone-normal rows, bounds_full (nr,)
+    box bounds at friction rows. Static: ``nonneg``/``box_rows``/``con0``
+    row-index tuples, iteration cap, cold flag.
+
+    Returns (f (B, nr) scaled row forces, v (B, nr) power vector).
+    """
+    B, nr = rhs.shape
+    E = ENVS_PER_PROGRAM
+    f32 = jnp.float32
+    nb = -(-B // E)
+    B_pad = nb * E
+
+    def pad_b(x):
+        return (jnp.pad(x, [(0, B_pad - B)] + [(0, 0)] * (x.ndim - 1))
+                if B_pad != B else x)
+
+    # envs -> lanes. Ad is symmetric, so (1, 2, 0) gives row slabs that
+    # serve as column slabs with no in-kernel transpose.
+    Adt = jnp.transpose(pad_b(Ad.astype(f32)), (1, 2, 0))   # (nr, nr, Bp)
+    vecs = [jnp.transpose(pad_b(x.astype(f32)))             # (nr, Bp)
+            for x in (rhs, f0, v0, active)]
+
+    m_nn = np.isin(np.arange(nr), np.asarray(nonneg)).astype(np.float32)
+    m_bx = np.isin(np.arange(nr), np.asarray(box_rows)).astype(np.float32)
+    m_n = np.isin(np.arange(nr), np.asarray(con0)).astype(np.float32)
+    masks = [jnp.asarray(m[:, None]) for m in (m_nn, m_bx, m_n)]
+    mu_col = (mu_full.astype(f32)[:, None] * masks[2])
+    bnd_full = jnp.transpose(jnp.broadcast_to(
+        bounds_full.astype(f32), (B_pad, nr)))
+
+    kern = functools.partial(
+        _apgd_kernel, nr=nr, iterations=int(iterations), cold=bool(cold),
+        has_nonneg=bool(len(nonneg)), has_box=bool(len(box_rows)),
+        has_cone=bool(len(con0)), tol2=float(tol2))
+
+    vec_spec = pl.BlockSpec((nr, E), lambda b: (0, b),
+                            memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((nr, 1), lambda b: (0, 0),
+                            memory_space=pltpu.VMEM)
+    f, v = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((nr, nr, E), lambda b: (0, 0, b),
+                               memory_space=pltpu.VMEM),
+                  vec_spec, vec_spec, vec_spec, vec_spec, vec_spec,
+                  col_spec, col_spec, col_spec, col_spec],
+        out_specs=[vec_spec, vec_spec],
+        out_shape=[jax.ShapeDtypeStruct((nr, B_pad), f32),
+                   jax.ShapeDtypeStruct((nr, B_pad), f32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',)),
+        interpret=interpret,
+    )(Adt, *vecs[:2], vecs[2], vecs[3], bnd_full, *masks, mu_col)
+    f = jnp.transpose(f)[:B]
+    v = jnp.transpose(v)[:B]
+    return f, v

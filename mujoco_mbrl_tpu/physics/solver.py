@@ -21,6 +21,7 @@ env axis under vmap.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Tuple
 
 import jax
@@ -519,135 +520,220 @@ def solve_apgd(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
         safe = jnp.where(s_inv[box_rows] > 0, s_inv[box_rows], 1.0)
         bounds = bounds / safe
 
-    # Step size from the preconditioned spectral radius (power iteration).
-    # Redundant coplanar facet rows (plane-box: 4 coincident-normal
-    # contacts x 4 facets) make the leading eigenspace nearly degenerate;
-    # 12 unguarded iterations can underestimate lambda_max enough that
-    # 1/L oversteps and the iteration DIVERGES (observed: qacc -> 1e19).
-    # More iterations plus a 1.5x safety margin keeps the step inside the
-    # convergence region at negligible cost (one matvec each).
-    def power(_, v):
-        w = Ad @ v
-        return w / jnp.maximum(jnp.linalg.norm(w), 1e-12)
-    v_flat = jnp.ones((cs.J.shape[0],), dtype) / (cs.J.shape[0] ** 0.5)
-    if power_v0 is None:
-        v = jax.lax.fori_loop(0, 24, power, v_flat)
-        L = 1.5 * jnp.maximum(v @ (Ad @ v), 1.0)  # unit diag -> L >= 1
-    else:
-        # warm start: renormalize the carried estimate, fall back to the
-        # flat vector if it degenerated (e.g. all-zero after masking)
-        nrm = jnp.linalg.norm(power_v0)
-        v0 = jnp.where(nrm > 1e-12, power_v0 / jnp.maximum(nrm, 1e-12),
-                       v_flat)
-        v = jax.lax.fori_loop(0, 6, power, v0)
-        r6 = v @ (Ad @ v)
-        v = jax.lax.fori_loop(0, 2, power, v)
-        r8 = v @ (Ad @ v)
-        # Rayleigh-quotient staleness check: under power iteration on a
-        # symmetric PSD matrix the quotient rises monotonically toward
-        # lambda_max, so a quotient still moving after 8 warm iterations
-        # means the carried eigenvector is stale (the active contact set
-        # changed between substeps) and 1.5*r8 may understate lambda_max
-        # enough for the 1/L APGD step to overshoot. For such solves use
-        # the certain upper bound max_i sum_j |Ad_ij| (the induced
-        # inf-norm of a symmetric matrix bounds its spectral radius):
-        # guaranteed convergence at a somewhat smaller step, paid only
-        # on contact-set-change substeps. (A lax.cond with extra
-        # iterations would not help: this path is vmapped over envs, so
-        # cond lowers to select and both branches would always run.)
-        safe_L = jnp.maximum(jnp.max(jnp.sum(jnp.abs(Ad), axis=1)), 1.0)
-        stale = (r8 - r6) > 0.02 * jnp.maximum(r8, 1e-12)
-        L = jnp.where(stale, safe_L, 1.5 * jnp.maximum(r8, 1.0))
-
-    # Projection as dense masked math on the full row vector: the loop
-    # body must not gather/scatter (under vmap each .at[idx].set is a
-    # batched scatter — dozens of latency-bound ops per iteration, times
-    # ~60 iterations times n_substeps). Static row-type masks turn the
-    # whole projection into a handful of (nr,)-wide selects; friction
-    # cones read their tangent rows through jnp.roll (contact blocks are
-    # contiguous [normal, t1, t2] triples) and write back through rolled
-    # masks, so the cone projection is exact and gather-free.
-    import numpy as _np
+    # The iterate (power-iteration step size + Nesterov APGD loop) runs
+    # behind a custom_vmap boundary: per-env it is the XLA while loop
+    # below (_apgd_iterate_impl); under vmap over an env batch on TPU it
+    # dispatches to the fused Pallas kernel (ops/apgd_solve.py) that
+    # keeps each env block's Ad resident in VMEM across ALL iterations
+    # instead of re-reading (B, nr, nr) from HBM every matvec.
     nr = cs.J.shape[0]
-    m_nonneg = jnp.asarray(
-        _np.isin(_np.arange(nr), nonneg)) if len(nonneg) else None
-    m_box = jnp.asarray(
-        _np.isin(_np.arange(nr), box_rows)) if len(box_rows) else None
-    if len(con0):
-        m_n = jnp.asarray(_np.isin(_np.arange(nr), con0))
-        m_t1 = jnp.asarray(_np.isin(_np.arange(nr), con0 + 1))
-        m_t2 = jnp.asarray(_np.isin(_np.arange(nr), con0 + 2))
-        mu_full = jnp.zeros((nr,), dtype).at[con0].set(
-            jnp.asarray(cs.mu, dtype))
+    mu_full = (jnp.zeros((nr,), dtype).at[con0].set(
+        jnp.asarray(cs.mu, dtype)) if len(con0)
+        else jnp.zeros((nr,), dtype))
     bounds_full = (jnp.zeros((nr,), dtype).at[box_rows].set(bounds)
-                   if bounds is not None else None)
-
-    def proj(f):
-        if m_nonneg is not None:
-            f = jnp.where(m_nonneg, jnp.maximum(f, 0.0), f)
-        if m_box is not None:
-            f = jnp.where(m_box, jnp.clip(f, -bounds_full, bounds_full), f)
-        if len(con0):
-            ft1 = jnp.roll(f, -1)                 # tangent rows, aligned
-            ft2 = jnp.roll(f, -2)                 # to their normal row
-            t = jnp.sqrt(ft1 * ft1 + ft2 * ft2)
-            inside = t <= mu_full * f
-            apex = mu_full * t + f <= 0.0
-            fn_s = jnp.where(inside, f,
-                             jnp.where(apex, 0.0,
-                                       (f + mu_full * t)
-                                       / (1.0 + mu_full * mu_full)))
-            tscale = jnp.where(inside, 1.0,
-                               jnp.where(apex, 0.0,
-                                         mu_full * fn_s
-                                         / jnp.maximum(t, 1e-12)))
-            tscale = jnp.where(m_n, tscale, 1.0)
-            f = jnp.where(m_n, fn_s, f)
-            f = f * jnp.where(m_t1, jnp.roll(tscale, 1), 1.0)
-            f = f * jnp.where(m_t2, jnp.roll(tscale, 2), 1.0)
-        return f * cs.active
-
+                   if bounds is not None else jnp.zeros((nr,), dtype))
     if f0 is None:
-        f0 = jnp.zeros((cs.J.shape[0],), dtype)
+        f0s = jnp.zeros((nr,), dtype)
     else:
-        # warm start: project the previous solution into the scaled,
+        # warm start: previous solution mapped into the scaled,
         # active-masked iteration space (f_s = f / s_inv; degenerate
-        # rows were dropped from the preconditioner and start at 0)
-        f0 = proj(jnp.where(s_inv > 0, f0 * cs.active /
-                            jnp.where(s_inv > 0, s_inv, 1.0), 0.0))
+        # rows were dropped from the preconditioner and start at 0);
+        # the iterate projects it before the first step.
+        f0s = jnp.where(s_inv > 0, f0 * cs.active /
+                        jnp.where(s_inv > 0, s_inv, 1.0), 0.0)
+    cold = power_v0 is None
+    v0 = jnp.zeros((nr,), dtype) if cold else power_v0
 
-    # Early termination (mjOption tolerance analogue): with per-substep
-    # warm starting most steady-state solves converge in a fraction of
-    # the iteration cap; stop when the iterate stops moving relative to
-    # its size. Under vmap this lowers to a batched while that runs until
-    # every env in the batch has converged — still a large win, since the
-    # cap is sized for the worst transient, not the common case.
-    tol2 = jnp.asarray(1e-12, dtype)     # (1e-6 relative L2)^2
-
-    def cond(carry):
-        f, y, theta, it, done = carry
-        return jnp.logical_and(it < iterations, jnp.logical_not(done))
-
-    def body(carry):
-        f, y, theta, it, done = carry
-        g = Ad @ y - rhs
-        f_new = proj(y - g / L)
-        theta_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * theta * theta))
-        beta = (theta - 1.0) / theta_new
-        # adaptive restart: drop momentum when it points against descent
-        restart = jnp.sum((y - f_new) * (f_new - f)) > 0.0
-        beta = jnp.where(restart, 0.0, beta)
-        y_new = f_new + beta * (f_new - f)
-        d2 = jnp.sum((f_new - f) ** 2)
-        done = d2 <= tol2 * (1e-12 + jnp.sum(f_new * f_new))
-        return (f_new, y_new, jnp.where(restart, 1.0, theta_new),
-                it + 1, done)
-
-    f, _, _, _, _ = jax.lax.while_loop(
-        cond, body, (f0, f0, jnp.ones((), dtype),
-                     jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_)))
+    iterate = _apgd_dispatch(tuple(int(i) for i in nonneg),
+                             tuple(int(i) for i in box_rows),
+                             tuple(int(i) for i in con0),
+                             int(iterations), cold)
+    f, v = iterate(Ad, rhs, f0s, v0, cs.active.astype(dtype),
+                   mu_full, bounds_full)
     f = f * s_inv                      # back to unscaled forces
     return cs.J.T @ f, f, v
+
+
+@functools.lru_cache(maxsize=128)
+def _apgd_dispatch(nonneg, box_rows, con0, iterations: int, cold: bool):
+    """custom_vmap APGD iterate for one static row structure.
+
+    Unbatched: the XLA power-iteration + while-loop iterate (exact
+    original semantics). Batched (the production path — `vmap(step)`
+    over the env batch): the fused Pallas kernel when on TPU, f32, and
+    the row count fits the envs-on-lanes layout; otherwise vmap of the
+    unbatched iterate.
+    """
+    import numpy as _np
+    from jax import custom_batching
+
+    nonneg_a = _np.asarray(nonneg, _np.int64)
+    box_a = _np.asarray(box_rows, _np.int64)
+    con0_a = _np.asarray(con0, _np.int64)
+
+    def impl(Ad, rhs, f0s, v0, active, mu_full, bounds_full):
+        dtype = rhs.dtype
+        nr = rhs.shape[0]
+
+        # Step size from the preconditioned spectral radius (power
+        # iteration). Redundant coplanar facet rows (plane-box: 4
+        # coincident-normal contacts x 4 facets) make the leading
+        # eigenspace nearly degenerate; 12 unguarded iterations can
+        # underestimate lambda_max enough that 1/L oversteps and the
+        # iteration DIVERGES (observed: qacc -> 1e19). More iterations
+        # plus a 1.5x safety margin keeps the step inside the
+        # convergence region at negligible cost (one matvec each).
+        def power(_, v):
+            w = Ad @ v
+            return w / jnp.maximum(jnp.linalg.norm(w), 1e-12)
+        v_flat = jnp.ones((nr,), dtype) / (nr ** 0.5)
+        if cold:
+            v = jax.lax.fori_loop(0, 24, power, v_flat)
+            L = 1.5 * jnp.maximum(v @ (Ad @ v), 1.0)  # unit diag -> L>=1
+        else:
+            # warm start: renormalize the carried estimate, fall back to
+            # the flat vector if it degenerated (all-zero after masking)
+            nrm = jnp.linalg.norm(v0)
+            vv = jnp.where(nrm > 1e-12, v0 / jnp.maximum(nrm, 1e-12),
+                           v_flat)
+            v = jax.lax.fori_loop(0, 6, power, vv)
+            r6 = v @ (Ad @ v)
+            v = jax.lax.fori_loop(0, 2, power, v)
+            r8 = v @ (Ad @ v)
+            # Rayleigh-quotient staleness check: under power iteration
+            # on a symmetric PSD matrix the quotient rises monotonically
+            # toward lambda_max, so a quotient still moving after 8 warm
+            # iterations means the carried eigenvector is stale (the
+            # active contact set changed between substeps) and 1.5*r8
+            # may understate lambda_max enough for the 1/L APGD step to
+            # overshoot. For such solves use the certain upper bound
+            # max_i sum_j |Ad_ij| (the induced inf-norm of a symmetric
+            # matrix bounds its spectral radius): guaranteed convergence
+            # at a somewhat smaller step, paid only on contact-set-change
+            # substeps. (A lax.cond with extra iterations would not
+            # help: this path is vmapped over envs, so cond lowers to
+            # select and both branches would always run.)
+            safe_L = jnp.maximum(jnp.max(jnp.sum(jnp.abs(Ad), axis=1)),
+                                 1.0)
+            stale = (r8 - r6) > 0.02 * jnp.maximum(r8, 1e-12)
+            L = jnp.where(stale, safe_L, 1.5 * jnp.maximum(r8, 1.0))
+
+        # Projection as dense masked math on the full row vector: the
+        # loop body must not gather/scatter (under vmap each .at[i].set
+        # is a batched scatter — dozens of latency-bound ops per
+        # iteration, times ~60 iterations times n_substeps). Static
+        # row-type masks turn the whole projection into a handful of
+        # (nr,)-wide selects; friction cones read their tangent rows
+        # through jnp.roll (contact blocks are contiguous [normal, t1,
+        # t2] triples) and write back through rolled masks, so the cone
+        # projection is exact and gather-free.
+        m_nonneg = (jnp.asarray(_np.isin(_np.arange(nr), nonneg_a))
+                    if len(nonneg_a) else None)
+        m_box = (jnp.asarray(_np.isin(_np.arange(nr), box_a))
+                 if len(box_a) else None)
+        if len(con0_a):
+            m_n = jnp.asarray(_np.isin(_np.arange(nr), con0_a))
+            m_t1 = jnp.asarray(_np.isin(_np.arange(nr), con0_a + 1))
+            m_t2 = jnp.asarray(_np.isin(_np.arange(nr), con0_a + 2))
+
+        def proj(f):
+            if m_nonneg is not None:
+                f = jnp.where(m_nonneg, jnp.maximum(f, 0.0), f)
+            if m_box is not None:
+                f = jnp.where(m_box,
+                              jnp.clip(f, -bounds_full, bounds_full), f)
+            if len(con0_a):
+                ft1 = jnp.roll(f, -1)             # tangent rows, aligned
+                ft2 = jnp.roll(f, -2)             # to their normal row
+                t = jnp.sqrt(ft1 * ft1 + ft2 * ft2)
+                inside = t <= mu_full * f
+                apex = mu_full * t + f <= 0.0
+                fn_s = jnp.where(inside, f,
+                                 jnp.where(apex, 0.0,
+                                           (f + mu_full * t)
+                                           / (1.0 + mu_full * mu_full)))
+                tscale = jnp.where(inside, 1.0,
+                                   jnp.where(apex, 0.0,
+                                             mu_full * fn_s
+                                             / jnp.maximum(t, 1e-12)))
+                tscale = jnp.where(m_n, tscale, 1.0)
+                f = jnp.where(m_n, fn_s, f)
+                f = f * jnp.where(m_t1, jnp.roll(tscale, 1), 1.0)
+                f = f * jnp.where(m_t2, jnp.roll(tscale, 2), 1.0)
+            return f * active
+
+        f0 = proj(f0s)
+
+        # Early termination (mjOption tolerance analogue): with
+        # per-substep warm starting most steady-state solves converge in
+        # a fraction of the iteration cap; stop when the iterate stops
+        # moving relative to its size. Under vmap this lowers to a
+        # batched while that runs until every env in the batch has
+        # converged — still a large win, since the cap is sized for the
+        # worst transient, not the common case.
+        tol2 = jnp.asarray(1e-12, dtype)     # (1e-6 relative L2)^2
+
+        def cond(carry):
+            f, y, theta, it, done = carry
+            return jnp.logical_and(it < iterations, jnp.logical_not(done))
+
+        def body(carry):
+            f, y, theta, it, done = carry
+            g = Ad @ y - rhs
+            f_new = proj(y - g / L)
+            theta_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * theta * theta))
+            beta = (theta - 1.0) / theta_new
+            # adaptive restart: drop momentum when it points against
+            # descent
+            restart = jnp.sum((y - f_new) * (f_new - f)) > 0.0
+            beta = jnp.where(restart, 0.0, beta)
+            y_new = f_new + beta * (f_new - f)
+            d2 = jnp.sum((f_new - f) ** 2)
+            done = d2 <= tol2 * (1e-12 + jnp.sum(f_new * f_new))
+            return (f_new, y_new, jnp.where(restart, 1.0, theta_new),
+                    it + 1, done)
+
+        f, _, _, _, _ = jax.lax.while_loop(
+            cond, body, (f0, f0, jnp.ones((), dtype),
+                         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_)))
+        return f, v
+
+    cv = custom_batching.custom_vmap(impl)
+
+    @cv.def_vmap
+    def _rule(axis_size, in_batched, Ad, rhs, f0s, v0, active, mu_full,
+              bounds_full):
+        from ..ops import apgd_solve as _ker
+
+        ad_b, rhs_b, f0_b, v0_b, act_b, mu_b, bnd_b = in_batched
+
+        def bcast(x, b):
+            return (x if b
+                    else jnp.broadcast_to(x, (axis_size,) + x.shape))
+
+        import os
+        use_kernel = (os.environ.get('MBRL_APGD_KERNEL', '1') != '0'
+                      and jax.default_backend() == 'tpu'
+                      and ad_b and Ad.ndim == 3
+                      and Ad.shape[-1] <= _ker.MAX_NR
+                      and Ad.dtype == jnp.float32
+                      and not mu_b and not bnd_b
+                      and axis_size >= 64)
+        if use_kernel:
+            f, v = _ker.apgd_iterate_batched(
+                Ad, bcast(rhs, rhs_b), bcast(f0s, f0_b),
+                bcast(v0, v0_b), bcast(active, act_b),
+                mu_full, bounds_full,
+                nonneg=nonneg, box_rows=box_rows, con0=con0,
+                iterations=iterations, cold=cold)
+        else:
+            f, v = jax.vmap(impl)(
+                bcast(Ad, ad_b), bcast(rhs, rhs_b), bcast(f0s, f0_b),
+                bcast(v0, v0_b), bcast(active, act_b),
+                bcast(mu_full, mu_b), bcast(bounds_full, bnd_b))
+        return (f, v), (True, True)
+
+    return cv
 
 
 def contact_forces(cs: Optional[ConstraintSet], f: Optional[jnp.ndarray],
