@@ -59,10 +59,21 @@ def _shift_down(x, k):
 
 def _apgd_kernel(ad_ref, rhs_ref, f0_ref, v0_ref, act_ref, bnd_ref,
                  mnn_ref, mbox_ref, mn_ref, mu_ref,
-                 f_out, v_out, *, nr: int, iterations: int, cold: bool,
-                 has_nonneg: bool, has_box: bool, has_cone: bool,
-                 tol2: float):
-    """One env block: power-iteration L estimate + APGD to convergence."""
+                 f_out, v_out,
+                 f_scr, y_scr, th_scr, dn_scr, *, nr: int,
+                 iterations: int, cold: bool, has_nonneg: bool,
+                 has_box: bool, has_cone: bool, tol2: float,
+                 chunk: int = 8):
+    """One env block: power-iteration L estimate + APGD to convergence.
+
+    The APGD loop is a fori_loop over iteration CHUNKS with the iterate
+    state in VMEM scratch; each chunk is statically unrolled and guarded
+    by ``pl.when(any env unconverged)`` — block-level early exit without
+    ``lax.while_loop``, which Mosaic does not reliably lower for vector
+    carries (observed: device-side hang). Per-iteration freeze masks
+    (converged OR past the ``iterations`` cap) keep results bit-matched
+    to the XLA while-loop semantics.
+    """
     f32 = jnp.float32
     rhs = rhs_ref[:]                      # (nr, E)
     active = act_ref[:]
@@ -140,16 +151,18 @@ def _apgd_kernel(ad_ref, rhs_ref, f0_ref, v0_ref, act_ref, bnd_ref,
 
     f0 = proj(f0_ref[:])
 
-    # ---- Nesterov APGD with per-env convergence, block-level exit -----
+    # ---- Nesterov APGD with per-env convergence, chunked early exit ---
     tol2c = jnp.asarray(tol2, f32)
+    f_scr[:] = f0
+    y_scr[:] = f0
+    th_scr[:] = jnp.ones((1, rhs.shape[1]), f32)
+    dn_scr[:] = jnp.zeros((1, rhs.shape[1]), f32)
 
-    def cond(carry):
-        f, y, theta, it, done = carry
-        return jnp.logical_and(it < iterations,
-                               jnp.logical_not(jnp.all(done > 0)))
-
-    def body(carry):
-        f, y, theta, it, done = carry
+    def one_iter(it):
+        f = f_scr[:]
+        y = y_scr[:]
+        theta = th_scr[:]
+        done = dn_scr[:]
         g = matvec(y) - rhs
         f_new = proj(y - g / L)
         theta_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * theta * theta))
@@ -161,21 +174,28 @@ def _apgd_kernel(ad_ref, rhs_ref, f0_ref, v0_ref, act_ref, bnd_ref,
         d2 = jnp.sum((f_new - f) ** 2, axis=0, keepdims=True)
         conv = d2 <= tol2c * (1e-12 + jnp.sum(f_new * f_new, axis=0,
                                               keepdims=True))
-        # freeze converged envs (matches vmapped-while masking semantics)
-        frozen = done > 0
-        f_new = jnp.where(frozen, f, f_new)
-        y_new = jnp.where(frozen, y, y_new)
-        theta_new = jnp.where(frozen, theta,
+        # freeze converged/past-cap envs (matches the vmapped-while
+        # masking semantics of the XLA path exactly)
+        frozen = jnp.logical_or(done > 0, it >= iterations)
+        f_scr[:] = jnp.where(frozen, f, f_new)
+        y_scr[:] = jnp.where(frozen, y, y_new)
+        th_scr[:] = jnp.where(frozen, theta,
                               jnp.where(restart, 1.0, theta_new))
-        done = jnp.maximum(done, conv.astype(f32))
-        return (f_new, y_new, theta_new, it + 1, done)
+        dn_scr[:] = jnp.maximum(
+            done, jnp.where(frozen, 0.0, conv.astype(f32)))
 
-    theta0 = jnp.ones((1, rhs.shape[1]), f32)
-    done0 = jnp.zeros((1, rhs.shape[1]), f32)
-    f, _, _, _, _ = jax.lax.while_loop(
-        cond, body, (f0, f0, theta0, jnp.zeros((), jnp.int32), done0))
+    n_chunks = -(-iterations // chunk)
 
-    f_out[:] = f
+    def outer(ci, carry):
+        @pl.when(jnp.min(dn_scr[:]) < 0.5)
+        def _():
+            for k in range(chunk):        # static unroll
+                one_iter(ci * chunk + k)
+        return carry
+
+    jax.lax.fori_loop(0, n_chunks, outer, jnp.zeros((), jnp.int32))
+
+    f_out[:] = f_scr[:]
     v_out[:] = v
 
 
@@ -241,6 +261,10 @@ def apgd_iterate_batched(Ad, rhs, f0, v0, active, mu_full, bounds_full,
         out_specs=[vec_spec, vec_spec],
         out_shape=[jax.ShapeDtypeStruct((nr, B_pad), f32),
                    jax.ShapeDtypeStruct((nr, B_pad), f32)],
+        scratch_shapes=[pltpu.VMEM((nr, E), f32),
+                        pltpu.VMEM((nr, E), f32),
+                        pltpu.VMEM((1, E), f32),
+                        pltpu.VMEM((1, E), f32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary',)),
         interpret=interpret,

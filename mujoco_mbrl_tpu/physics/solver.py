@@ -713,7 +713,7 @@ def _apgd_dispatch(nonneg, box_rows, con0, iterations: int, cold: bool):
 
         import os
         use_kernel = (os.environ.get('MBRL_APGD_KERNEL', '1') != '0'
-                      and jax.default_backend() == 'tpu'
+                      and jax.devices()[0].platform in ('tpu', 'axon')
                       and ad_b and Ad.ndim == 3
                       and Ad.shape[-1] <= _ker.MAX_NR
                       and Ad.dtype == jnp.float32

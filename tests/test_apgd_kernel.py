@@ -52,11 +52,19 @@ def _problem(key, B, nr=NR, dtype=jnp.float32):
 def _xla_reference(args, *, nonneg=NONNEG, box=BOX, con0=CON0,
                    iterations, cold):
     cv = solver._apgd_dispatch(nonneg, box, con0, iterations, cold)
-    return jax.vmap(cv)(*args[:5], *[
-        jnp.broadcast_to(a, args[0].shape[:1] + a.shape)
-        for a in args[5:]])
+    # jit the whole vmapped call: eager dispatch over the TPU tunnel is
+    # minutes-slow per op (broadcasting mu/bounds to batched also forces
+    # the rule onto its XLA fallback, which is the point of the oracle)
+    fn = jax.jit(lambda a: jax.vmap(cv)(*a[:5], *[
+        jnp.broadcast_to(x, a[0].shape[:1] + x.shape) for x in a[5:]]))
+    return fn(args)
 
 
+_ON_TPU = jax.devices()[0].platform in ('tpu', 'axon')
+
+
+@pytest.mark.skipif(_ON_TPU, reason='interpret-mode oracle is the CPU '
+                    'tier; on TPU the compiled case below covers parity')
 @pytest.mark.parametrize('cold', [True, False])
 def test_kernel_matches_xla_iterate(cold):
     B = 37          # non-multiple of 128: exercises batch padding
@@ -71,6 +79,8 @@ def test_kernel_matches_xla_iterate(cold):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.skipif(_ON_TPU, reason='interpret-mode oracle is the CPU '
+                    'tier; on TPU the compiled case below covers parity')
 def test_kernel_no_contacts():
     """Limits-only structure (acrobot/pendulum class): cone code off."""
     nonneg, box, con0 = (0, 1, 2, 3), (), ()
@@ -96,8 +106,7 @@ def test_kernel_no_contacts():
                                rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.skipif(jax.default_backend() != 'tpu',
-                    reason='Mosaic lowering needs a TPU')
+@pytest.mark.skipif(not _ON_TPU, reason='Mosaic lowering needs a TPU')
 @pytest.mark.parametrize('cold', [True, False])
 def test_kernel_compiles_on_tpu(cold):
     B = 256

@@ -99,7 +99,12 @@ def test_stat_parity(domain, task, heavy):
         got = ours[stat]
         assert np.isfinite(got).all(), (stat, got)
         se = np.sqrt(ref.var() / n_seeds + got.var() / n_seeds)
-        tol = (4.0 * se + 0.15 * abs(ref.mean())
+        # 4*SE covers sampling noise; the relative term guards against a
+        # systematically soft/stiff solver. 0.05|mean| (was 0.15 through
+        # round 3) is calibrated so a consistent ~5% bias in any tracked
+        # statistic fires the oracle while chaotic-domain spread stays
+        # inside the SE + std terms.
+        tol = (4.0 * se + 0.05 * abs(ref.mean())
                + 0.05 * ref.std() + (0.3 if stat == 'returns' else 1e-3))
         diff = abs(got.mean() - ref.mean())
         if diff > tol:
