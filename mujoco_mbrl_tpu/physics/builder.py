@@ -7,11 +7,14 @@ scoping): build an element tree in Python, compose sub-models with
 prefixed names, serialize to MJCF XML, and compile straight to this
 engine's Model pytree.
 
-Scope: the attribute/element subset the compiler understands
-(option/default/worldbody/tendon/equality/actuator/contact trees). The
-schema-validated DOM, per-element physics bindings, and debugging layers
-of full PyMJCF are out of scope (SURVEY §7 cut list) — this covers the
-construction/composition workflow that reference users script against.
+Construction is schema-validated (physics/schema.py, the role of
+PyMJCF's generated schema layer): unknown tags, misplaced children,
+unknown attributes, and ill-typed values raise ``SchemaError`` at build
+time; known attributes read back typed (``el.get('pos')`` is a numpy
+array). Compiled models bind back to elements via ``schema.bind``.
+Out of scope remains full PyMJCF's asset/debugging machinery (SURVEY §7
+cut list) — this covers the construction/composition/binding workflow
+that reference users script against.
 
 Example::
 
@@ -32,6 +35,8 @@ from typing import Any, Dict, List, Optional
 import numpy as np
 
 from . import mjcf
+from . import schema as _schema
+from .schema import SchemaError  # noqa: F401  (public re-export)
 
 # attributes whose values reference named elements — rewritten on attach
 _NAME_REFS = ('name', 'joint', 'tendon', 'tendon1', 'tendon2', 'site',
@@ -54,26 +59,51 @@ def _fmt(value: Any) -> str:
 
 
 class Element:
-    """One MJCF element: tag, attributes, ordered children."""
+    """One MJCF element: tag, attributes, ordered children.
 
-    def __init__(self, tag: str, **attrs: Any):
+    ``strict=True`` (default for programmatic construction) validates
+    the tag, placement, attribute names, and attribute values against
+    the MJCF schema on every add/set — the PyMJCF behavior of raising
+    at the call site that made the mistake, not at compile time.
+    """
+
+    def __init__(self, tag: str, _strict: bool = True,
+                 _parent_tag: Optional[str] = None, **attrs: Any):
         self.tag = tag
+        self.strict = _strict
         self.attrs: Dict[str, str] = {k: _fmt(v) for k, v in attrs.items()
                                       if v is not None}
         self.children: List['Element'] = []
         self._parent: Optional['Element'] = None
+        if _strict:
+            _schema.validate(tag, self.attrs, _parent_tag)
 
     # -- construction ----------------------------------------------------
     def add(self, tag: str, **attrs: Any) -> 'Element':
         """Append a child element and return it (PyMJCF element.add)."""
-        child = Element(tag, **attrs)
+        child = Element(tag, _strict=self.strict, _parent_tag=self.tag,
+                        **attrs)
         child._parent = self
         self.children.append(child)
         return child
 
     def set(self, **attrs: Any) -> 'Element':
-        self.attrs.update({k: _fmt(v) for k, v in attrs.items()})
+        new = {k: _fmt(v) for k, v in attrs.items()}
+        if self.strict:
+            parent = self._parent.tag if self._parent is not None else None
+            _schema.validate(self.tag, new, parent)
+        self.attrs.update(new)
         return self
+
+    def get(self, attr: str, default: Any = None) -> Any:
+        """Typed attribute read: arrays/floats/ints/bools per the schema
+        (PyMJCF's typed attribute access, e.g. geom.get('pos') ->
+        np.ndarray of 3)."""
+        if attr not in self.attrs:
+            return default
+        parent = self._parent.tag if self._parent is not None else None
+        return _schema.parse_value(self.tag, attr, self.attrs[attr],
+                                   parent)
 
     def find(self, tag: str, name: Optional[str] = None
              ) -> Optional['Element']:
@@ -149,8 +179,8 @@ class Element:
 class RootElement(Element):
     """The `<mujoco>` document root (PyMJCF mjcf.RootElement analogue)."""
 
-    def __init__(self, model: str = 'model'):
-        super().__init__('mujoco', model=model)
+    def __init__(self, model: str = 'model', strict: bool = True):
+        super().__init__('mujoco', _strict=strict, model=model)
         self._parent = None
         self._sections: Dict[str, Element] = {}
         # worldbody always exists; other sections materialize on use
@@ -158,7 +188,7 @@ class RootElement(Element):
 
     def _section(self, tag: str) -> Element:
         if tag not in self._sections:
-            sec = Element(tag)
+            sec = Element(tag, _strict=self.strict, _parent_tag='mujoco')
             sec._parent = self
             self._sections[tag] = sec
             self.children.append(sec)
@@ -212,20 +242,23 @@ class RootElement(Element):
         return mjcf.parse(self.to_xml_string())
 
     @classmethod
-    def from_xml_string(cls, xml: str) -> 'RootElement':
+    def from_xml_string(cls, xml: str, strict: bool = True
+                        ) -> 'RootElement':
         """Parse an MJCF document into an editable element tree.
 
         The `mjcf.from_xml_string` / `from_file` analogue (reference
         mjcf/parser.py:33-114): existing model files become attachable,
         name-scopable entities — e.g. the suite's humanoid_cmu XML turns
         into a reusable locomotion walker. Round-trips through
-        `to_xml_string()` / `compile()`.
+        `to_xml_string()` / `compile()`. ``strict`` schema-validates
+        every element while parsing (reference parser behavior);
+        ``strict=False`` accepts out-of-schema content untyped.
         """
         import xml.etree.ElementTree as ET
         src = ET.fromstring(xml)
         if src.tag != 'mujoco':
             raise ValueError(f'expected <mujoco> root, got <{src.tag}>')
-        root = cls(model=src.attrib.get('model', 'model'))
+        root = cls(model=src.attrib.get('model', 'model'), strict=strict)
 
         def replay(node, dst):
             for child in node:
@@ -233,6 +266,7 @@ class RootElement(Element):
 
         for section in src:
             dst = root._section(section.tag)
-            dst.attrs.update(section.attrib)
+            if section.attrib:
+                dst.set(**section.attrib)
             replay(section, dst)
         return root
