@@ -26,3 +26,19 @@ def test_launch_random_policy_no_path():
                         frame_stride=8, verbose=False)
     assert out['rewards'].shape == (8,)
     assert out['gif'] == ''
+
+
+def test_launch_writes_interactive_html(tmp_path):
+    """html=True emits the self-contained scrub/player document — the
+    headless redesign of the reference's interactive GLFW viewer
+    (dm_control/viewer/application.py:183)."""
+    env = suite.load('cartpole', 'balance')
+    out = viewer.launch(env, policy=viewer.zero_policy(env), steps=12,
+                        path=str(tmp_path / 'roll'), height=24, width=32,
+                        frame_stride=4, verbose=False, html=True)
+    assert out['html'].endswith('.html') and os.path.exists(out['html'])
+    doc = open(out['html']).read()
+    assert doc.count('data:image/png;base64,') == 3   # embedded frames
+    for control_id in ('play', 'scrub', 'speed', 'stepf', 'stepb'):
+        assert f"'{control_id}'" in doc               # interactive controls
+    assert '__FRAMES__' not in doc                    # substitution done
