@@ -95,6 +95,17 @@ def run_benches():
         print(f'[queue] bench done ({time.time()-t:.0f}s)', flush=True)
 
 
+@stage('bench1')
+def run_bench_northstar():
+    """Just the north-star config (kernel-path A/B follow-up runs)."""
+    import bench as bench_mod
+    sys.argv = ['bench.py', '--config', 'northstar', '--steps', '10']
+    try:
+        bench_mod.main()
+    except SystemExit:
+        pass
+
+
 @stage('phases')
 def run_phases():
     import bench as bench_mod
@@ -121,11 +132,13 @@ def run_heavy():
     print(f'[queue] heavy tier pytest rc={rc}', flush=True)
 
 
-ALL = [run_ktest, run_benches, run_phases, run_heavy]
+ALL = [run_ktest, run_benches, run_bench_northstar, run_phases,
+       run_heavy]
 
 if __name__ == '__main__':
     want = sys.argv[1:]
     for s in ALL:
-        if not want or s.stage_name in want:
+        if (s.stage_name in want if want
+                else s.stage_name != 'bench1'):   # bench1 is opt-in
             s()
     print('[queue] ALL_DONE', flush=True)
