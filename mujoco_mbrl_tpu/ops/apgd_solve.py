@@ -218,15 +218,24 @@ def apgd_iterate_batched(Ad, rhs, f0, v0, active, mu_full, bounds_full,
 
     Returns (f (B, nr) scaled row forces, v (B, nr) power vector).
     """
-    B, nr = rhs.shape
+    B, nr_raw = rhs.shape
     E = ENVS_PER_PROGRAM
     f32 = jnp.float32
     nb = -(-B // E)
     B_pad = nb * E
+    # pad rows to a sublane multiple: zero rows are inert through the
+    # whole iterate (zero Ad row/col, zero rhs, active=0 => f stays 0,
+    # contributes nothing to matvecs, norms, or convergence tests), and
+    # exact (nr, E) blocks keep every sublane Mosaic touches explicit.
+    nr = -(-nr_raw // 8) * 8
 
     def pad_b(x):
-        return (jnp.pad(x, [(0, B_pad - B)] + [(0, 0)] * (x.ndim - 1))
-                if B_pad != B else x)
+        pads = [(0, B_pad - B)] + [(0, 0)] * (x.ndim - 1)
+        if x.ndim >= 2:
+            pads[1] = (0, nr - nr_raw)
+        if x.ndim == 3:
+            pads[2] = (0, nr - nr_raw)
+        return jnp.pad(x, pads) if any(p != (0, 0) for p in pads) else x
 
     # envs -> lanes. Ad is symmetric, so (1, 2, 0) gives row slabs that
     # serve as column slabs with no in-kernel transpose.
@@ -238,9 +247,12 @@ def apgd_iterate_batched(Ad, rhs, f0, v0, active, mu_full, bounds_full,
     m_bx = np.isin(np.arange(nr), np.asarray(box_rows)).astype(np.float32)
     m_n = np.isin(np.arange(nr), np.asarray(con0)).astype(np.float32)
     masks = [jnp.asarray(m[:, None]) for m in (m_nn, m_bx, m_n)]
-    mu_col = (mu_full.astype(f32)[:, None] * masks[2])
+    pad_tail = jnp.zeros((nr - nr_raw,), f32)
+    mu_col = (jnp.concatenate([mu_full.astype(f32), pad_tail])[:, None]
+              * masks[2])
     bnd_full = jnp.transpose(jnp.broadcast_to(
-        bounds_full.astype(f32), (B_pad, nr)))
+        jnp.concatenate([bounds_full.astype(f32), pad_tail]),
+        (B_pad, nr)))
 
     kern = functools.partial(
         _apgd_kernel, nr=nr, iterations=int(iterations), cold=bool(cold),
@@ -269,6 +281,6 @@ def apgd_iterate_batched(Ad, rhs, f0, v0, active, mu_full, bounds_full,
             dimension_semantics=('arbitrary',)),
         interpret=interpret,
     )(Adt, *vecs[:2], vecs[2], vecs[3], bnd_full, *masks, mu_col)
-    f = jnp.transpose(f)[:B]
-    v = jnp.transpose(v)[:B]
+    f = jnp.transpose(f)[:B, :nr_raw]
+    v = jnp.transpose(v)[:B, :nr_raw]
     return f, v
