@@ -31,22 +31,29 @@ NR = 17
 
 
 def _problem(key, B, nr=NR, dtype=jnp.float32):
-    """Random preconditioned dual QP batch shaped like solve_apgd's."""
-    ks = jax.random.split(key, 6)
-    G = jax.random.normal(ks[0], (B, nr + 4, nr), dtype)
-    A = jnp.einsum('bij,bik->bjk', G, G) / (nr + 4)
-    A = A + 0.05 * jnp.eye(nr, dtype=dtype)      # R-like ridge
-    d = jnp.sqrt(jnp.diagonal(A, axis1=1, axis2=2))
-    s = 1.0 / d
-    Ad = A * s[:, :, None] * s[:, None, :]       # unit diagonal
-    rhs = jax.random.normal(ks[1], (B, nr), dtype)
-    f0 = jax.random.normal(ks[2], (B, nr), dtype) * 0.3
-    v0 = jax.random.normal(ks[3], (B, nr), dtype)
-    active = (jax.random.uniform(ks[4], (B, nr)) > 0.15).astype(dtype)
-    mu = jnp.zeros((nr,), dtype).at[jnp.asarray(CON0)].set(
-        jnp.asarray([0.6, 0.8, 1.0, 0.5], dtype))
-    bounds = jnp.zeros((nr,), dtype).at[jnp.asarray(BOX)].set(0.7)
-    return Ad, rhs, f0, v0, active, mu, bounds
+    """Random preconditioned dual QP batch shaped like solve_apgd's.
+
+    Built inside ONE jit: eager op-by-op dispatch over the TPU tunnel
+    pays a remote compile per primitive and takes minutes.
+    """
+    @jax.jit
+    def build(key):
+        ks = jax.random.split(key, 6)
+        G = jax.random.normal(ks[0], (B, nr + 4, nr), dtype)
+        A = jnp.einsum('bij,bik->bjk', G, G) / (nr + 4)
+        A = A + 0.05 * jnp.eye(nr, dtype=dtype)      # R-like ridge
+        d = jnp.sqrt(jnp.diagonal(A, axis1=1, axis2=2))
+        s = 1.0 / d
+        Ad = A * s[:, :, None] * s[:, None, :]       # unit diagonal
+        rhs = jax.random.normal(ks[1], (B, nr), dtype)
+        f0 = jax.random.normal(ks[2], (B, nr), dtype) * 0.3
+        v0 = jax.random.normal(ks[3], (B, nr), dtype)
+        active = (jax.random.uniform(ks[4], (B, nr)) > 0.15).astype(dtype)
+        mu = jnp.zeros((nr,), dtype).at[jnp.asarray(CON0)].set(
+            jnp.asarray([0.6, 0.8, 1.0, 0.5], dtype))
+        bounds = jnp.zeros((nr,), dtype).at[jnp.asarray(BOX)].set(0.7)
+        return Ad, rhs, f0, v0, active, mu, bounds
+    return build(key)
 
 
 def _xla_reference(args, *, nonneg=NONNEG, box=BOX, con0=CON0,
