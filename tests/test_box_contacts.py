@@ -13,10 +13,15 @@ from mujoco_mbrl_tpu.physics import model as M
 
 
 def _detect_pair(m, qpos, g1, g2):
+    # The engine wraps its own calls in highest matmul precision
+    # (engine.py); calling the narrowphase directly must do the same or
+    # the TPU tier's bf16-default 3x3 rotation matmuls blow the analytic
+    # 1e-5 distance tolerances below.
     from mujoco_mbrl_tpu.physics import smooth
-    meta = smooth.tree_meta(m)
-    out = smooth.kinematics(m, jnp.asarray(qpos), meta)
-    return collision.detect(m, out[3], out[4], [(g1, g2)])
+    with jax.default_matmul_precision('highest'):
+        meta = smooth.tree_meta(m)
+        out = smooth.kinematics(m, jnp.asarray(qpos), meta)
+        return collision.detect(m, out[3], out[4], [(g1, g2)])
 
 
 _SCENE = """

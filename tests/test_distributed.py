@@ -104,6 +104,36 @@ print('RESULT ' + json.dumps({'pid': pid, 'loss': float(loss),
 '''
 
 
+_REF = r'''
+import json, os
+import numpy as np
+os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=8'
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import optax
+from mujoco_mbrl_tpu import models
+from mujoco_mbrl_tpu.parallel import mesh as pmesh
+
+nproc = int(os.environ['NUM_PROCS'])
+ldev = int(os.environ['LOCAL_DEVICES'])
+model = models.MLPDynamics(4, 2, hidden_units=16)
+params = model.init(jax.random.PRNGKey(0))
+opt = optax.adam(1e-3)
+opt_state = opt.init(params)
+key = jax.random.PRNGKey(42)
+B = 32
+batch = dict(states=jax.random.normal(key, (B, 4)),
+             actions=jax.random.normal(jax.random.fold_in(key, 1),
+                                       (B, 2)),
+             next_states=jax.random.normal(jax.random.fold_in(key, 2),
+                                           (B, 4)))
+mesh = pmesh.make_mesh(('env',), devices=jax.devices()[:nproc * ldev])
+step = pmesh.dp_train_step(mesh, model, opt)
+_, _, ref_loss = step(params, opt_state, batch)
+print('RESULT ' + json.dumps({'ref_loss': float(ref_loss)}))
+'''
+
+
 def test_multiprocess_dp_train_matches_single_process(tmp_path):
     port = _free_port()
     procs = []
@@ -149,29 +179,19 @@ def test_multiprocess_dp_train_matches_single_process(tmp_path):
         np.testing.assert_allclose(results[pid]['checksum2'],
                                    results[pid]['checksum'], rtol=1e-6)
 
-    # single-process reference on the same global batch
-    os.environ.setdefault('XLA_FLAGS',
-                          '--xla_force_host_platform_device_count=8')
-    import jax
-    jax.config.update('jax_platforms', 'cpu')
-    import jax.numpy as jnp
-    import optax
-    from mujoco_mbrl_tpu import models
-    from mujoco_mbrl_tpu.parallel import mesh as pmesh
-
-    model = models.MLPDynamics(4, 2, hidden_units=16)
-    params = model.init(jax.random.PRNGKey(0))
-    opt = optax.adam(1e-3)
-    opt_state = opt.init(params)
-    key = jax.random.PRNGKey(42)
-    B = 32
-    batch = dict(states=jax.random.normal(key, (B, 4)),
-                 actions=jax.random.normal(jax.random.fold_in(key, 1),
-                                           (B, 2)),
-                 next_states=jax.random.normal(jax.random.fold_in(key, 2),
-                                               (B, 4)))
-    mesh = pmesh.make_mesh(('env',),
-                           devices=jax.devices()[:_N_PROC * _LOCAL_DEVICES])
-    step = pmesh.dp_train_step(mesh, model, opt)
-    _, _, ref_loss = step(params, opt_state, batch)
-    np.testing.assert_allclose(losses[0], float(ref_loss), rtol=1e-5)
+    # Single-process reference on the same global batch, in its OWN
+    # CPU-forced subprocess: the pytest process may be on the TPU tier
+    # (TEST_PLATFORM=tpu), where (a) flipping jax_platforms after the
+    # backend initialized is unreliable and (b) bf16-default matmuls
+    # would break the 1e-5 CPU-vs-CPU comparison the workers earned.
+    env = dict(env_base)
+    env['PROC_ID'] = '0'
+    ref = subprocess.run([sys.executable, '-c', _REF], env=env,
+                         capture_output=True, text=True, timeout=550)
+    assert ref.returncode == 0, f'reference failed:\n{ref.stderr[-3000:]}'
+    ref_loss = None
+    for line in ref.stdout.splitlines():
+        if line.startswith('RESULT '):
+            ref_loss = json.loads(line[len('RESULT '):])['ref_loss']
+    assert ref_loss is not None, ref.stdout
+    np.testing.assert_allclose(losses[0], ref_loss, rtol=1e-5)

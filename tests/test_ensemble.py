@@ -60,6 +60,15 @@ def test_bootstrap_diversifies_members():
 
 
 def test_forward_ts_member_assignment():
+    # Routing is what is under test; run both compute paths at highest
+    # matmul precision so the TPU tier's bf16-default matmuls (batched
+    # ensemble einsum vs single-member dot — different shapes, different
+    # roundings) don't mask the 1e-5 equality check.
+    with jax.default_matmul_precision('highest'):
+        _check_forward_ts_member_assignment()
+
+
+def _check_forward_ts_member_assignment():
     base = models.MLPDynamics(2, 1, hidden_units=8)
     ens = models.EnsembleDynamics(base, n_ensemble=4)
     params = ens.init(jax.random.PRNGKey(0))
