@@ -53,6 +53,14 @@ def test_reference_matches_model_forward(setup):
 
 
 def test_normalizer_folding(setup):
+    # Folding ALGEBRA is what is under test (normalize-then-matmul ==
+    # folded-weights matmul); pin highest matmul precision so the TPU
+    # tier's bf16-default manual path doesn't swamp the 1e-4 check.
+    with jax.default_matmul_precision('highest'):
+        _check_normalizer_folding(setup)
+
+
+def _check_normalizer_folding(setup):
     model, params, s0, acts, goal, w = setup
     sd, ad = model.state_dim, model.action_dim
     n = models.Normalizers(
