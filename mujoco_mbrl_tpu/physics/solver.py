@@ -544,10 +544,12 @@ def solve_apgd(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
     cold = power_v0 is None
     v0 = jnp.zeros((nr,), dtype) if cold else power_v0
 
+    eq_rows = tuple(int(i0) for kind, i0 in cs.blocks
+                    if kind == 'equality')
     iterate = _apgd_dispatch(tuple(int(i) for i in nonneg),
                              tuple(int(i) for i in box_rows),
                              tuple(int(i) for i in con0),
-                             int(iterations), cold)
+                             int(iterations), cold, eq_rows)
     f, v = iterate(Ad, rhs, f0s, v0, cs.active.astype(dtype),
                    mu_full, bounds_full)
     f = f * s_inv                      # back to unscaled forces
@@ -555,7 +557,8 @@ def solve_apgd(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
 
 
 @functools.lru_cache(maxsize=128)
-def _apgd_dispatch(nonneg, box_rows, con0, iterations: int, cold: bool):
+def _apgd_dispatch(nonneg, box_rows, con0, iterations: int, cold: bool,
+                   eq_rows=()):
     """custom_vmap APGD iterate for one static row structure.
 
     Unbatched: the XLA power-iteration + while-loop iterate (exact
@@ -677,10 +680,33 @@ def _apgd_dispatch(nonneg, box_rows, con0, iterations: int, cold: bool):
             f, y, theta, it, done = carry
             return jnp.logical_and(it < iterations, jnp.logical_not(done))
 
+        # Equality rows are unbounded and can be extremely stiff: the
+        # manipulator finger-coupling tendon has J M^-1 J' ~ 2e5 (near-
+        # massless fingers), and even after Jacobi scaling the 1/L
+        # gradient step crawls toward its optimum (~1000 iterations to
+        # converge vs the ~60 cap; measured force -0.025 vs the exact
+        # dual's -0.4418, which real MuJoCo's Newton solver attains —
+        # engine_core_constraint.c solves equality rows implicitly).
+        # Because these rows have no cone to project onto, their
+        # conditional optimum given all other forces is closed-form;
+        # interleave an exact Gauss-Seidel update on them each
+        # iteration (scaled diagonal is exactly 1, so the row update is
+        # f_e -= Ad[e].f - rhs[e]). One (nr,) dot per equality row per
+        # iteration — negligible next to the (nr, nr) matvec.
+        eq_hots = [jnp.zeros((nr,), dtype).at[e].set(1.0)
+                   for e in eq_rows]
+
+        def eq_polish(f):
+            for e, hot in zip(eq_rows, eq_hots):
+                f = f - hot * (Ad[e] @ f - rhs[e])
+            return f
+
         def body(carry):
             f, y, theta, it, done = carry
             g = Ad @ y - rhs
             f_new = proj(y - g / L)
+            if eq_rows:
+                f_new = eq_polish(f_new)
             theta_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * theta * theta))
             beta = (theta - 1.0) / theta_new
             # adaptive restart: drop momentum when it points against
@@ -718,6 +744,9 @@ def _apgd_dispatch(nonneg, box_rows, con0, iterations: int, cold: bool):
                       and Ad.shape[-1] <= _ker.MAX_NR
                       and Ad.dtype == jnp.float32
                       and not mu_b and not bnd_b
+                      and not eq_rows  # kernel lacks the equality
+                      # Gauss-Seidel polish; stiff tendon couplings
+                      # (manipulator) must take the exact XLA path
                       and axis_size >= 64)
         if use_kernel:
             f, v = _ker.apgd_iterate_batched(

@@ -210,7 +210,13 @@ class Environment:
     def _observe(self, m, phys, params):
         data = engine.forward(m, phys, jnp.zeros((m.nu,), phys.qpos.dtype),
                               self._contact_fn)
-        return self._task.get_observation(m, phys, data)
+        # Observation extraction (egocentric frames, sensor rotations)
+        # is tiny matmuls outside the engine's precision pins; on TPU
+        # the bf16 default would cost ~1e-3 obs error (quadruped
+        # egocentric_state vs the 1e-4 task-parity band) for no
+        # measurable speed. Pin it like the engine does.
+        with jax.default_matmul_precision('highest'):
+            return self._task.get_observation(m, phys, data)
 
     def step(self, state: EnvState, action: jnp.ndarray) -> Tuple[EnvState, TimeStep]:
         """One control step: task.before_step -> N physics substeps -> reward."""
@@ -221,8 +227,10 @@ class Environment:
                               self._contact_fn)
         data = engine.forward(m, phys, ctrl, self._contact_fn,
                               acc_stage=self._obs_acc)
-        obs = self._task.get_observation(m, phys, data)
-        reward = self._task.get_reward(m, phys, data, ctrl)
+        with jax.default_matmul_precision('highest'):
+            # same precision pin as _observe: task-layer obs/reward math
+            obs = self._task.get_observation(m, phys, data)
+            reward = self._task.get_reward(m, phys, data, ctrl)
         step_count = state.step_count + 1
         is_last = step_count >= self._max_steps
         discount = jnp.ones((), phys.qpos.dtype)

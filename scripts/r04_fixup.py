@@ -49,6 +49,9 @@ FIXED = [
     'test_multiprocess_dp_train_matches_single_process',
     'tests/test_ensemble.py::test_forward_ts_member_assignment',
     'tests/test_golden_trajectories.py',
+    'tests/test_ops_kernels.py::test_normalizer_folding',
+    # new since the full run's collection: soccer-lite
+    'tests/test_soccer.py',
 ]
 import pytest  # noqa: E402
 

@@ -195,8 +195,12 @@ def task_parity_errors(env, fix, steps=None):
         phys = M.State(qpos=qp, qvel=qv,
                        time=jnp.zeros((), dtype), act=ac)
         data = engine.forward(m, phys, u, contact_fn)
-        obs = env.task.get_observation(m, phys, data)
-        reward = env.task.get_reward(m, phys, data, u)
+        # same precision pin as control.Environment._observe: the task
+        # layer's small rotation matmuls must not run at the TPU bf16
+        # default or kinematic obs pick up ~1e-3 error vs the 1e-4 band
+        with jax.default_matmul_precision('highest'):
+            obs = env.task.get_observation(m, phys, data)
+            reward = env.task.get_reward(m, phys, data, u)
         return obs, reward
 
     if act is None:
