@@ -63,7 +63,7 @@ def _apgd_kernel(ad_ref, rhs_ref, f0_ref, v0_ref, act_ref, bnd_ref,
                  f_scr, y_scr, th_scr, dn_scr, *, nr: int,
                  iterations: int, cold: bool, has_nonneg: bool,
                  has_box: bool, has_cone: bool, tol2: float,
-                 chunk: int = 8):
+                 eq_rows: tuple = (), chunk: int = 8):
     """One env block: power-iteration L estimate + APGD to convergence.
 
     The APGD loop is a fori_loop over iteration CHUNKS with the iterate
@@ -158,6 +158,20 @@ def _apgd_kernel(ad_ref, rhs_ref, f0_ref, v0_ref, act_ref, bnd_ref,
     th_scr[:] = jnp.ones((1, rhs.shape[1]), f32)
     dn_scr[:] = jnp.zeros((1, rhs.shape[1]), f32)
 
+    # Exact Gauss-Seidel polish on equality rows (solver.py: stiff
+    # tendon couplings crawl under the 1/L step; their conditional
+    # optimum is closed-form since there is no cone to project onto).
+    # One (nr, E) FMA-reduce per equality row per iteration.
+    eq_hots = [(jax.lax.broadcasted_iota(jnp.int32, (nr, 1), 0)
+                == e).astype(f32) for e in eq_rows]
+
+    def eq_polish(f):
+        for e, hot in zip(eq_rows, eq_hots):
+            resid = (jnp.sum(ad_ref[e] * f, axis=0, keepdims=True)
+                     - rhs[e:e + 1])
+            f = f - hot * resid
+        return f
+
     def one_iter(it):
         f = f_scr[:]
         y = y_scr[:]
@@ -165,6 +179,8 @@ def _apgd_kernel(ad_ref, rhs_ref, f0_ref, v0_ref, act_ref, bnd_ref,
         done = dn_scr[:]
         g = matvec(y) - rhs
         f_new = proj(y - g / L)
+        if eq_rows:
+            f_new = eq_polish(f_new)
         theta_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * theta * theta))
         beta = (theta - 1.0) / theta_new
         restart = (jnp.sum((y - f_new) * (f_new - f), axis=0,
@@ -201,11 +217,11 @@ def _apgd_kernel(ad_ref, rhs_ref, f0_ref, v0_ref, act_ref, bnd_ref,
 
 @functools.partial(
     jax.jit, static_argnames=('nonneg', 'box_rows', 'con0', 'iterations',
-                              'cold', 'tol2', 'interpret'))
+                              'cold', 'tol2', 'interpret', 'eq_rows'))
 def apgd_iterate_batched(Ad, rhs, f0, v0, active, mu_full, bounds_full,
                          *, nonneg, box_rows, con0, iterations: int,
                          cold: bool, tol2: float = 1e-12,
-                         interpret: bool = False):
+                         interpret: bool = False, eq_rows: tuple = ()):
     """Batched APGD iterate: one kernel launch over the env batch.
 
     Args (batched leading axis B): Ad (B, nr, nr) symmetric PSD
@@ -257,7 +273,8 @@ def apgd_iterate_batched(Ad, rhs, f0, v0, active, mu_full, bounds_full,
     kern = functools.partial(
         _apgd_kernel, nr=nr, iterations=int(iterations), cold=bool(cold),
         has_nonneg=bool(len(nonneg)), has_box=bool(len(box_rows)),
-        has_cone=bool(len(con0)), tol2=float(tol2))
+        has_cone=bool(len(con0)), tol2=float(tol2),
+        eq_rows=tuple(int(e) for e in eq_rows))
 
     vec_spec = pl.BlockSpec((nr, E), lambda b: (0, b),
                             memory_space=pltpu.VMEM)

@@ -744,9 +744,6 @@ def _apgd_dispatch(nonneg, box_rows, con0, iterations: int, cold: bool,
                       and Ad.shape[-1] <= _ker.MAX_NR
                       and Ad.dtype == jnp.float32
                       and not mu_b and not bnd_b
-                      and not eq_rows  # kernel lacks the equality
-                      # Gauss-Seidel polish; stiff tendon couplings
-                      # (manipulator) must take the exact XLA path
                       and axis_size >= 64)
         if use_kernel:
             f, v = _ker.apgd_iterate_batched(
@@ -754,7 +751,7 @@ def _apgd_dispatch(nonneg, box_rows, con0, iterations: int, cold: bool,
                 bcast(v0, v0_b), bcast(active, act_b),
                 mu_full, bounds_full,
                 nonneg=nonneg, box_rows=box_rows, con0=con0,
-                iterations=iterations, cold=cold)
+                iterations=iterations, cold=cold, eq_rows=eq_rows)
         else:
             f, v = jax.vmap(impl)(
                 bcast(Ad, ad_b), bcast(rhs, rhs_b), bcast(f0s, f0_b),

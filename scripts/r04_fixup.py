@@ -44,12 +44,42 @@ print(f'[fixup] goldens done ({time.time()-t:.0f}s)', flush=True)
 
 # 2. rerun the fixed cases on the TPU tier
 FIXED = [
+    # precision-context / per-backend-fixture fixes (commit 1fb5616)
     'tests/test_box_contacts.py::test_box_box_distance_analytic',
     'tests/test_distributed.py::'
     'test_multiprocess_dp_train_matches_single_process',
     'tests/test_ensemble.py::test_forward_ts_member_assignment',
     'tests/test_golden_trajectories.py',
     'tests/test_ops_kernels.py::test_normalizer_folding',
+    # APGD equality-row polish + task-layer precision pins (c44c2a4):
+    # the whole coupled-finger family, the quadruped task layer, and
+    # the stat-parity cases whose physics the solver fix touched
+    'tests/test_parity_physics.py::test_trajectory_tracks_oracle'
+    '[manipulator-bring_ball-8-0.001]',
+    'tests/test_parity_physics.py::test_trajectory_tracks_oracle'
+    '[manipulator-bring_peg-55-0.001]',
+    'tests/test_parity_physics.py::test_trajectory_tracks_oracle'
+    '[manipulator-insert_ball-8-0.001]',
+    'tests/test_parity_physics.py::test_trajectory_tracks_oracle'
+    '[manipulator-insert_peg-55-0.001]',
+    'tests/test_parity_physics.py::test_trajectory_tracks_oracle'
+    '[stacker-stack_2-9-0.001]',
+    'tests/test_parity_physics.py::test_trajectory_tracks_oracle'
+    '[stacker-stack_4-9-0.001]',
+    'tests/test_parity_task.py::test_obs_and_reward_match_oracle'
+    '[quadruped-walk]',
+    'tests/test_parity_task.py::test_obs_and_reward_match_oracle'
+    '[quadruped-run]',
+    'tests/test_parity_task.py::test_obs_and_reward_match_oracle'
+    '[quadruped-escape]',
+    'tests/test_parity_task.py::test_obs_and_reward_match_oracle'
+    '[quadruped-fetch]',
+    'tests/test_parity_stat.py::test_stat_parity'
+    '[stacker-stack_2-True]',
+    'tests/test_parity_stat.py::test_stat_parity'
+    '[manipulator-bring_ball-True]',
+    'tests/test_parity_stat.py::test_stat_parity'
+    '[manipulator-insert_ball-True]',
     # new since the full run's collection: soccer-lite
     'tests/test_soccer.py',
 ]

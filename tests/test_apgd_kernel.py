@@ -57,8 +57,9 @@ def _problem(key, B, nr=NR, dtype=jnp.float32):
 
 
 def _xla_reference(args, *, nonneg=NONNEG, box=BOX, con0=CON0,
-                   iterations, cold):
-    cv = solver._apgd_dispatch(nonneg, box, con0, iterations, cold)
+                   iterations, cold, eq_rows=()):
+    cv = solver._apgd_dispatch(nonneg, box, con0, iterations, cold,
+                               eq_rows)
     # jit the whole vmapped call: eager dispatch over the TPU tunnel is
     # minutes-slow per op (broadcasting mu/bounds to batched also forces
     # the rule onto its XLA fallback, which is the point of the oracle)
@@ -84,6 +85,29 @@ def test_kernel_matches_xla_iterate(cold):
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_ref),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.skipif(_ON_TPU, reason='interpret-mode oracle is the CPU '
+                    'tier; on TPU the compiled case below covers parity')
+def test_kernel_equality_polish_matches_xla():
+    """Row 4 declared as a tendon-equality row: both paths must apply
+    the same per-iteration exact Gauss-Seidel update (the manipulator
+    finger-coupling fix) and land on the same forces."""
+    B = 37
+    eq = (4,)
+    args = _problem(jax.random.PRNGKey(5), B)
+    f_ref, v_ref = _xla_reference(args, iterations=40, cold=True,
+                                  eq_rows=eq)
+    f_k, v_k = apgd_solve.apgd_iterate_batched(
+        *args, nonneg=NONNEG, box_rows=BOX, con0=CON0,
+        iterations=40, cold=True, interpret=True, eq_rows=eq)
+    np.testing.assert_allclose(np.asarray(f_k), np.asarray(f_ref),
+                               rtol=2e-4, atol=2e-4)
+    # the equality row must actually satisfy its residual equation
+    Ad, rhs = args[0], args[1]
+    resid = np.einsum('bj,bj->b', np.asarray(Ad)[:, 4, :],
+                      np.asarray(f_k)) - np.asarray(rhs)[:, 4]
+    assert np.abs(resid).max() < 2e-4, np.abs(resid).max()
 
 
 @pytest.mark.skipif(_ON_TPU, reason='interpret-mode oracle is the CPU '
