@@ -90,12 +90,76 @@ class Pitch(composer.Entity):
         return root
 
     def goal_rect(self, side: str):
-        """(x_lo, x_hi, y_half) of `side`'s goal mouth in world frame."""
+        """(x_lo, x_hi, y_half) of `side`'s goal mouth in world frame
+        (the build-time geometry; episode overrides read the model)."""
         half_len = self.size[0] / 2
         gd, gw, _ = self.goal_size
         if side == 'home':
             return (-half_len - gd, -half_len, gw)
         return (half_len, half_len + gd, gw)
+
+    def goal_rect_in(self, model, side: str):
+        """Goal mouth derived from the (possibly episode-overridden)
+        model: the posts carry the goal line x and mouth half-width y."""
+        g = model.names['geom'][f'{side}_post_p']
+        x_line = model.geom_pos[g, 0]
+        y_half = jnp.abs(model.geom_pos[g, 1])
+        gd = self.goal_size[0]
+        sign = -1.0 if side == 'home' else 1.0
+        return x_line, x_line + sign * gd, y_half
+
+    def episode_size(self, params):
+        """(length, width) for this episode; fixed pitches ignore params."""
+        return self.size
+
+
+class RandomizedPitch(Pitch):
+    """Pitch whose size is re-sampled every episode (pitch.py:220
+    RandomizedPitch), redesigned for static compiled shapes: the scene
+    is built once at ``max_size`` and per-episode sizes move the walls
+    and posts through the functional model-override path
+    (``apply_params``), the same mechanism suite tasks use for episode
+    variation. Goal sensing reads the overridden post positions, so
+    rewards track the sampled geometry with zero recompilation."""
+
+    def _build(self, min_size=(6.0, 4.0), max_size=_PITCH_SIZE,
+               keep_aspect_ratio=False, **kwargs):
+        self.min_size = min_size
+        self.max_size = max_size
+        self.keep_aspect_ratio = keep_aspect_ratio
+        return super()._build(size=max_size, **kwargs)
+
+    def initialize_episode(self, model, key):
+        ratios = jax.random.uniform(key, (2,))
+        if self.keep_aspect_ratio:  # pitch.py:275-281
+            ratios = jnp.full((2,), ratios[0])
+        return ratios
+
+    def episode_size(self, params):
+        lo = jnp.asarray(self.min_size)
+        hi = jnp.asarray(self.max_size)
+        return lo + params * (hi - lo)  # pitch.py:282
+
+    def apply_params(self, model, params):
+        length, width = self.episode_size(params)
+        half_len, half_wid = length / 2, width / 2
+        gw = width * _GOAL_LENGTH_RATIO / 2
+        gp = model.geom_pos
+        names = model.names['geom']
+        for name, xy in (('wall_px', (half_len + 1, None)),
+                         ('wall_nx', (-half_len - 1, None)),
+                         ('wall_py', (None, half_wid + 1)),
+                         ('wall_ny', (None, -half_wid - 1)),
+                         ('home_post_n', (-half_len, -gw)),
+                         ('home_post_p', (-half_len, gw)),
+                         ('away_post_n', (half_len, -gw)),
+                         ('away_post_p', (half_len, gw))):
+            g = names[name]
+            if xy[0] is not None:
+                gp = gp.at[g, 0].set(xy[0])
+            if xy[1] is not None:
+                gp = gp.at[g, 1].set(xy[1])
+        return model.replace(geom_pos=gp)
 
 
 class SoccerBall(composer.Entity):
@@ -215,7 +279,11 @@ class Soccer(composer.Task):
     def initialize_episode(self, model, key):
         from ..physics import make_state
         state = make_state(model)
-        kb, kp, ky = jax.random.split(key, 3)
+        kb, kp, ky, kpi = jax.random.split(key, 4)
+        # pitch episode params (RandomizedPitch samples its size here);
+        # spawns below use the same episode's extents
+        pitch_params = self.pitch.initialize_episode(model, kpi)
+        length, width = self.pitch.episode_size(pitch_params)
         qpos = state.qpos
         # ball: near the center spot, resting on the field
         ball_xy = jax.random.uniform(kb, (2,), minval=-1.0, maxval=1.0)
@@ -223,8 +291,8 @@ class Soccer(composer.Task):
         qpos = qpos.at[ba:ba + 2].set(ball_xy)
         qpos = qpos.at[ba + 2].set(self.ball.radius)
         # players: uniform in their own half, random heading
-        half_len = self.pitch.size[0] / 2 - self._spawn_margin
-        half_wid = self.pitch.size[1] / 2 - self._spawn_margin
+        half_len = length / 2 - self._spawn_margin
+        half_wid = width / 2 - self._spawn_margin
         n = len(self.players)
         u = jax.random.uniform(kp, (n, 2), minval=-1.0, maxval=1.0)
         # own half: HOME x in [-half_len, 0), AWAY x in (0, half_len]
@@ -239,14 +307,18 @@ class Soccer(composer.Task):
             qpos = qpos.at[xa].set(xy[i, 0])
             qpos = qpos.at[ya].set(xy[i, 1])
             qpos = qpos.at[sa].set(yaws[i])
-        return state.replace(qpos=qpos), ()
+        # params aligned with self._entities: (pitch, ball, *players)
+        params = (pitch_params,) + ((),) * (len(self._entities) - 1)
+        return state.replace(qpos=qpos), params
 
     # -- goal sensing (pitch.py:192-201, made pure) ---------------------
     def _ball_xy(self, model, phys, data):
         return data.xpos[self.ball.body_id(model), :2]
 
-    def _in_goal(self, xy, side):
-        x_lo, x_hi, y_half = self.pitch.goal_rect(side)
+    def _in_goal(self, model, xy, side):
+        x_line, x_back, y_half = self.pitch.goal_rect_in(model, side)
+        x_lo = jnp.minimum(x_line, x_back)
+        x_hi = jnp.maximum(x_line, x_back)
         return ((xy[0] >= x_lo) & (xy[0] <= x_hi)
                 & (jnp.abs(xy[1]) <= y_half))
 
@@ -254,8 +326,8 @@ class Soccer(composer.Task):
         """+1 if HOME scored (ball in the away goal), -1 if AWAY did,
         0 otherwise — ``detected_goal`` (pitch.py:192) as a sign."""
         xy = self._ball_xy(model, phys, data)
-        home_scored = self._in_goal(xy, 'away')
-        away_scored = self._in_goal(xy, 'home')
+        home_scored = self._in_goal(model, xy, 'away')
+        away_scored = self._in_goal(model, xy, 'home')
         return (home_scored.astype(jnp.float32)
                 - away_scored.astype(jnp.float32))
 
@@ -288,10 +360,10 @@ class Soccer(composer.Task):
             return fn
 
         def ego_goal(p, side):
-            x_lo, x_hi, _ = self.pitch.goal_rect(side)
-            center = jnp.array([(x_lo + x_hi) / 2, 0.0])
-
             def fn(model, phys, data):
+                x_line, x_back, _ = self.pitch.goal_rect_in(model, side)
+                center = jnp.stack([(x_line + x_back) / 2,
+                                    jnp.zeros_like(x_line)])
                 return self._ego(p, model, phys, data, center)
             return fn
 

@@ -171,3 +171,42 @@ def test_ball_rolls_and_possession_tracks():
     data = engine.forward(m, st, jnp.zeros((m.nu,)))
     poss = np.asarray(task.stats_possession(m, st, data))
     np.testing.assert_array_equal(poss, [1.0, 0.0])
+
+
+def test_randomized_pitch_moves_walls_and_goals():
+    """RandomizedPitch (pitch.py:220): per-episode size via model
+    overrides; walls/posts move and goal sensing tracks them."""
+    from mujoco_mbrl_tpu import composer
+    task = soccer.Soccer(team_size=1, pitch=soccer.RandomizedPitch(
+        min_size=(6.0, 4.0), max_size=(12.0, 9.0)))
+    env = composer.make_env(task, time_limit=5.0)
+    m = env.model
+    walls = []
+    for seed in (0, 1, 2):
+        state, _ = jax.jit(env.reset)(jax.random.PRNGKey(seed))
+        m_ep = task.apply_params(m, state.params)
+        g = m.names['geom']['wall_px']
+        wx = float(m_ep.geom_pos[g, 0])
+        assert 4.0 <= wx <= 7.0  # half_len+1 within [6/2+1, 12/2+1]
+        walls.append(wx)
+        # posts sit on the sampled goal line with the sampled mouth
+        half_len = wx - 1.0
+        p = m.names['geom']['away_post_p']
+        np.testing.assert_allclose(float(m_ep.geom_pos[p, 0]), half_len,
+                                   atol=1e-5)
+        gw = float(m_ep.geom_pos[p, 1])
+        assert 0.0 < gw < 4.5 * soccer._GOAL_LENGTH_RATIO + 1e-6
+        # a ball just past the sampled line scores under THIS episode's
+        # model and does not under a differently-sized one
+        jb = int(m.jnt_qposadr[m.names['joint']['ball/root']])
+        st = make_state(m)
+        st = st.replace(qpos=st.qpos.at[jb].set(half_len + 0.25))
+        data = engine.forward(m_ep, st, jnp.zeros((m.nu,)))
+        np.testing.assert_array_equal(
+            np.asarray(task.get_reward(m_ep, st, data, None)), [1, -1])
+        # players spawned inside the sampled halves
+        data0 = engine.forward(m_ep, state.physics, jnp.zeros((m.nu,)))
+        for name in ('home0/root', 'away0/root'):
+            b = m.names['body'][name]
+            assert abs(float(data0.xpos[b, 0])) <= half_len
+    assert len(set(round(w, 3) for w in walls)) > 1  # sizes vary
