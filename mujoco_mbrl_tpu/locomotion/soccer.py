@@ -5,10 +5,18 @@ Functional redesign of the reference's ``locomotion/soccer`` stack
 ``soccer/boxhead.py``) on composer-lite entities. The gameplay contract
 is the reference's: per-player rewards of +1/-1 on a goal and 0
 otherwise (task.py:134-162), discount 0 and episode termination when
-either goal detects the ball (task.py:170-180), pitch size (12, 9) with
-goal length 0.33x pitch width (pitch.py:37-38,177-185), ball
-radius 0.35 / mass 0.045 (soccer_ball.py:42), and a throw-in style
-randomized kickoff (task.py:115-121, initializers.py UniformInitializer).
+either goal detects the ball (task.py:170-180), goal length 0.33x pitch
+width (pitch.py:177-185), ball radius 0.35 / mass 0.045
+(soccer_ball.py:42), and a throw-in style randomized kickoff
+(task.py:115-121, initializers.py UniformInitializer).
+
+Pitch scale is a deliberate redesign, NOT the reference contract: the
+reference's ``Pitch(size=(12, 9))`` values are MuJoCo half-extents (a
+24x18 field with goals inset inside the field line, pitch.py:37-38);
+here ``size=(12, 9)`` is the *full* extent (12x9 playable area, goals
+on the boundary walls). The half-scale pitch keeps the boxhead-lite
+players' episode lengths short for batched training; ball-to-pitch
+proportions are therefore ~2x the reference's.
 
 What is redesigned for the batched pure-function engine rather than
 ported:

@@ -166,10 +166,12 @@ def _apgd_kernel(ad_ref, rhs_ref, f0_ref, v0_ref, act_ref, bnd_ref,
                 == e).astype(f32) for e in eq_rows]
 
     def eq_polish(f):
+        # masked by the row's `active` lane (solver.py parity): an
+        # inactive/degenerate equality row must stay at zero force.
         for e, hot in zip(eq_rows, eq_hots):
             resid = (jnp.sum(ad_ref[e] * f, axis=0, keepdims=True)
                      - rhs[e:e + 1])
-            f = f - hot * resid
+            f = f - hot * (active[e:e + 1] * resid)
         return f
 
     def one_iter(it):

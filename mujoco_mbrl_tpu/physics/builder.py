@@ -68,21 +68,23 @@ class Element:
     """
 
     def __init__(self, tag: str, _strict: bool = True,
-                 _parent_tag: Optional[str] = None, **attrs: Any):
+                 _parent_tag: Optional[str] = None,
+                 _warn: Optional[List[str]] = None, **attrs: Any):
         self.tag = tag
         self.strict = _strict
+        self._warn_sink = _warn
         self.attrs: Dict[str, str] = {k: _fmt(v) for k, v in attrs.items()
                                       if v is not None}
         self.children: List['Element'] = []
         self._parent: Optional['Element'] = None
         if _strict:
-            _schema.validate(tag, self.attrs, _parent_tag)
+            _schema.validate(tag, self.attrs, _parent_tag, warn=_warn)
 
     # -- construction ----------------------------------------------------
     def add(self, tag: str, **attrs: Any) -> 'Element':
         """Append a child element and return it (PyMJCF element.add)."""
         child = Element(tag, _strict=self.strict, _parent_tag=self.tag,
-                        **attrs)
+                        _warn=self._warn_sink, **attrs)
         child._parent = self
         self.children.append(child)
         return child
@@ -91,7 +93,7 @@ class Element:
         new = {k: _fmt(v) for k, v in attrs.items()}
         if self.strict:
             parent = self._parent.tag if self._parent is not None else None
-            _schema.validate(self.tag, new, parent)
+            _schema.validate(self.tag, new, parent, warn=self._warn_sink)
         self.attrs.update(new)
         return self
 
@@ -179,8 +181,9 @@ class Element:
 class RootElement(Element):
     """The `<mujoco>` document root (PyMJCF mjcf.RootElement analogue)."""
 
-    def __init__(self, model: str = 'model', strict: bool = True):
-        super().__init__('mujoco', _strict=strict, model=model)
+    def __init__(self, model: str = 'model', strict: bool = True,
+                 _warn: Optional[List[str]] = None):
+        super().__init__('mujoco', _strict=strict, _warn=_warn, model=model)
         self._parent = None
         self._sections: Dict[str, Element] = {}
         # worldbody always exists; other sections materialize on use
@@ -188,7 +191,8 @@ class RootElement(Element):
 
     def _section(self, tag: str) -> Element:
         if tag not in self._sections:
-            sec = Element(tag, _strict=self.strict, _parent_tag='mujoco')
+            sec = Element(tag, _strict=self.strict, _parent_tag='mujoco',
+                          _warn=self._warn_sink)
             sec._parent = self
             self._sections[tag] = sec
             self.children.append(sec)
@@ -251,14 +255,22 @@ class RootElement(Element):
         name-scopable entities — e.g. the suite's humanoid_cmu XML turns
         into a reusable locomotion walker. Round-trips through
         `to_xml_string()` / `compile()`. ``strict`` schema-validates
-        every element while parsing (reference parser behavior);
-        ``strict=False`` accepts out-of-schema content untyped.
+        every element while parsing (reference parser behavior), but in
+        *document* mode: unknown tags/attributes outside the curated
+        subset (e.g. <visual><global/>, sensor elements) collect into
+        ``root.schema_warnings`` instead of raising — full MuJoCo
+        accepts them, so a parsed file must too. Ill-typed values of
+        known attributes still raise. ``strict=False`` skips schema
+        checks entirely.
         """
         import xml.etree.ElementTree as ET
         src = ET.fromstring(xml)
         if src.tag != 'mujoco':
             raise ValueError(f'expected <mujoco> root, got <{src.tag}>')
-        root = cls(model=src.attrib.get('model', 'model'), strict=strict)
+        warnings: List[str] = []
+        root = cls(model=src.attrib.get('model', 'model'), strict=strict,
+                   _warn=warnings)
+        root.schema_warnings = warnings
 
         def replay(node, dst):
             for child in node:

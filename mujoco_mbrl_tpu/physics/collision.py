@@ -52,23 +52,42 @@ _PAIR_POINTS = {
 }
 
 
+def body_weldid(m: M.Model) -> List[int]:
+    """MuJoCo body_weldid: ancestor reached by walking up through
+    jointless bodies. A body with no joints is rigidly welded to its
+    parent and counts as the same body for contact filtering (the CMU
+    humanoid's lhipjoint/rhipjoint dummies weld to root)."""
+    has_joint = set(m.jnt_body)
+    weld = [0] * m.nbody
+    for b in range(1, m.nbody):
+        w = b
+        while w != 0 and w not in has_joint:
+            w = m.body_parent[w]
+        weld[b] = w
+    return weld
+
+
 def candidate_pairs(m: M.Model,
                     include_geom_geom: bool = True) -> List[Tuple[int, int]]:
-    """Static candidate list with MuJoCo's filtering semantics:
-    same-body filter, parent-child filter, contype/conaffinity mask."""
+    """Static candidate list with MuJoCo's filtering semantics
+    (engine_collision_driver mj_collideGeoms): same-*weld* filter,
+    weld-aware parent-child filter, contype/conaffinity mask."""
     excludes = frozenset(getattr(m, 'contact_excludes', ()) or ())
+    weld = body_weldid(m)
+    pweld = [weld[m.body_parent[w]] for w in weld]
     pairs = []
     for g1 in range(m.ngeom):
         for g2 in range(g1 + 1, m.ngeom):
             b1, b2 = m.geom_body[g1], m.geom_body[g2]
-            if b1 == b2:
+            w1, w2 = weld[b1], weld[b2]
+            if w1 == w2:
                 continue
             # explicit <contact><exclude body1 body2/> pairs
             if (b1, b2) in excludes or (b2, b1) in excludes:
                 continue
-            # parent-child filter (world parent exempt, as in MuJoCo)
-            if b1 != 0 and b2 != 0 and (
-                    m.body_parent[b1] == b2 or m.body_parent[b2] == b1):
+            # parent-child filter on welds (world-welded exempt)
+            if w1 != 0 and w2 != 0 and (
+                    pweld[b1] == w2 or pweld[b2] == w1):
                 continue
             mask = ((m.geom_contype[g1] & m.geom_conaffinity[g2]) or
                     (m.geom_contype[g2] & m.geom_conaffinity[g1]))

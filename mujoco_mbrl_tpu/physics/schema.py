@@ -261,23 +261,42 @@ def attr_spec(tag: str, attr: str,
 
 
 def validate(tag: str, attrs: Dict[str, str],
-             parent_tag: Optional[str] = None) -> None:
-    """Raise SchemaError on unknown tag/attribute or ill-typed value."""
+             parent_tag: Optional[str] = None,
+             warn: Optional[list] = None) -> None:
+    """Raise SchemaError on unknown tag/attribute or ill-typed value.
+
+    With ``warn`` (a list) the *unknown*-tag/attribute cases append a
+    warning string instead of raising — the document-parsing mode:
+    full MuJoCo accepts many presentational elements this engine's
+    curated subset doesn't model (<visual><global/>, <option><flag>,
+    sensor tags), and a parsed file carrying them must round-trip, not
+    explode. Ill-typed values of *known* attributes always raise: those
+    are genuine authoring errors regardless of mode.
+    """
     known_ctx = ((parent_tag, tag) in _CONTEXT_ATTRS
                  if parent_tag else False)
     if tag not in ATTRS and not known_ctx:
-        raise SchemaError(f'unknown MJCF element <{tag}>')
+        if warn is None:
+            raise SchemaError(f'unknown MJCF element <{tag}>')
+        warn.append(f'unknown MJCF element <{tag}> (accepted untyped)')
+        return
     if parent_tag is not None and parent_tag in CHILDREN:
         if tag not in CHILDREN[parent_tag]:
-            raise SchemaError(
-                f'<{tag}> is not a valid child of <{parent_tag}> '
-                f'(allowed: {", ".join(CHILDREN[parent_tag])})')
+            msg = (f'<{tag}> is not a valid child of <{parent_tag}> '
+                   f'(allowed: {", ".join(CHILDREN[parent_tag])})')
+            if warn is None:
+                raise SchemaError(msg)
+            warn.append(msg)
+            return
     for name, raw in attrs.items():
         spec = attr_spec(tag, name, parent_tag)
         if spec is None:
-            raise SchemaError(
-                f'unknown attribute {name!r} on <{tag}>'
-                + (f' (inside <{parent_tag}>)' if parent_tag else ''))
+            msg = (f'unknown attribute {name!r} on <{tag}>'
+                   + (f' (inside <{parent_tag}>)' if parent_tag else ''))
+            if warn is None:
+                raise SchemaError(msg)
+            warn.append(msg)
+            continue
         _parse(tag, name, raw, spec)
 
 

@@ -520,6 +520,18 @@ def solve_apgd(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
         safe = jnp.where(s_inv[box_rows] > 0, s_inv[box_rows], 1.0)
         bounds = bounds / safe
 
+    # Active-set masking: the projection pins inactive rows to zero
+    # force, but leaving their columns in Ad inflates the power-iteration
+    # step-size estimate to the spectral radius of the FULL row set (4.4k
+    # rows on humanoid_cmu, L~60) — the active subproblem then converges
+    # at (1 - 1/L) per iteration and visibly undershoots stiff limit rows
+    # within the iteration cap (observed: toe-limit force 12.4 vs the
+    # exact dual's 20.3, a 2e-3/step qpos parity break). Masking Ad down
+    # to the active submatrix leaves the fixed point unchanged and makes
+    # L the ACTIVE set's spectral radius.
+    act_m = cs.active.astype(dtype)
+    Ad = Ad * (act_m[:, None] * act_m[None, :])
+
     # The iterate (power-iteration step size + Nesterov APGD loop) runs
     # behind a custom_vmap boundary: per-env it is the XLA while loop
     # below (_apgd_iterate_impl); under vmap over an env batch on TPU it
@@ -697,8 +709,11 @@ def _apgd_dispatch(nonneg, box_rows, con0, iterations: int, cold: bool,
                    for e in eq_rows]
 
         def eq_polish(f):
+            # masked by the row's `active` entry so an inactive or
+            # degenerate equality row can never accumulate force here
+            # (proj already zeroes it; the polish must not resurrect it)
             for e, hot in zip(eq_rows, eq_hots):
-                f = f - hot * (Ad[e] @ f - rhs[e])
+                f = f - hot * active[e] * (Ad[e] @ f - rhs[e])
             return f
 
         def body(carry):

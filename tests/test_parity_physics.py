@@ -70,8 +70,11 @@ THRESHOLDS = {
 # calibrated separately (heavy CPU compiles); run with RUN_HEAVY=1 or on
 # the TPU backend where compilation is fast
 HEAVY_THRESHOLDS = {
-    ('humanoid_cmu', 'stand'): (8, 1e-3),
-    ('humanoid_cmu', 'run'): (8, 1e-3),
+    # tracks ~1e-6 for 20+ steps once the weld-aware contact filter and
+    # the solver's active-set masking landed (round 5); 50 leaves head-
+    # room for f32 toe-limit chaos after step ~60
+    ('humanoid_cmu', 'stand'): (50, 1e-3),
+    ('humanoid_cmu', 'run'): (50, 1e-3),
     ('lqr', 'lqr_2_1'): (50, 1e-4),
     ('lqr', 'lqr_6_2'): (50, 1e-4),
     ('manipulator', 'bring_ball'): (8, 1e-3),

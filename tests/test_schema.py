@@ -71,10 +71,30 @@ def test_strict_false_accepts_unknown():
         "<mujoco model='x'><worldbody><body name='b' "
         "custom_attr='1'/></worldbody></mujoco>", strict=False)
     assert root.worldbody.find('body', 'b') is not None
-    with pytest.raises(SchemaError):
+    assert root.schema_warnings == []          # strict=False: no checks
+
+
+def test_document_mode_warns_not_raises():
+    """Parsing a document with out-of-subset-but-valid-MuJoCo content
+    must succeed and surface warnings (full MuJoCo accepts e.g.
+    <visual><global/> and sensor tags; advisor r4 finding)."""
+    root = RootElement.from_xml_string(
+        "<mujoco model='x'><visual><global offwidth='640'/>"
+        "<headlight diffuse='.6 .6 .6'/></visual>"
+        "<sensor><jointpos joint='j'/></sensor>"
+        "<worldbody><body name='b' custom_attr='1'/>"
+        "</worldbody></mujoco>", strict=True)
+    assert root.worldbody.find('body', 'b') is not None
+    assert any('custom_attr' in w for w in root.schema_warnings)
+    assert len(root.schema_warnings) >= 2
+    # ill-typed values of KNOWN attributes still raise in document mode
+    with pytest.raises(SchemaError, match='invalid'):
         RootElement.from_xml_string(
             "<mujoco model='x'><worldbody><body name='b' "
-            "custom_attr='1'/></worldbody></mujoco>", strict=True)
+            "pos='not a number'/></worldbody></mujoco>", strict=True)
+    # programmatic construction stays fully strict
+    with pytest.raises(SchemaError, match='unknown attribute'):
+        RootElement(model='t').worldbody.add('body', custom_attr='1')
 
 
 def _domain_xmls():
@@ -93,18 +113,29 @@ def _domain_xmls():
         for attr in dir(m):
             if attr.endswith('_XML') or attr == '_XML':
                 xmls[f'{mod_name}.{attr}'] = getattr(m, attr)
+    # domains whose XML is built by a generator function, not a module
+    # constant (advisor r4: these were missing from the corpus)
+    from mujoco_mbrl_tpu.suite import quadruped, swimmer
+    xmls['quadruped._make_xml'] = quadruped._make_xml(10.0)
+    xmls['quadruped._make_xml_walls'] = quadruped._make_xml(
+        10.0, walls_and_ball=True)
+    xmls['swimmer._make_model_xml_6'] = swimmer._make_model_xml(6)
+    xmls['swimmer._make_model_xml_15'] = swimmer._make_model_xml(15)
     return xmls
 
 
 def test_schema_covers_suite_corpus():
-    """Strict parsing must accept every shipped domain model."""
+    """Strict parsing must accept every shipped domain model — with no
+    warnings either: the curated schema fully covers our own corpus."""
     xmls = _domain_xmls()
-    assert len(xmls) >= 11
+    assert len(xmls) >= 15
     for name, xml in xmls.items():
         try:
             root = RootElement.from_xml_string(xml, strict=True)
         except SchemaError as e:
             raise AssertionError(f'{name}: {e}') from e
+        assert not root.schema_warnings, (
+            f'{name}: schema gaps {root.schema_warnings[:5]}')
         # round-trip still compiles through the AOT compiler
         assert root.to_xml_string().startswith('<mujoco')
 
