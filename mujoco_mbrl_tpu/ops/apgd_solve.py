@@ -217,6 +217,279 @@ def _apgd_kernel(ad_ref, rhs_ref, f0_ref, v0_ref, act_ref, bnd_ref,
     v_out[:] = v
 
 
+def _factored_vmem_bytes(nr: int, nv: int,
+                         envs: int = ENVS_PER_PROGRAM) -> int:
+    """Estimated per-program VMEM footprint of the factored kernel."""
+    nr8 = -(-nr // 8) * 8
+    nv8 = -(-nv // 8) * 8
+    slabs = nv * nr8 + nv * nv8     # J columns + Minv columns
+    vecs = 14 * nr8                 # rhs/f0/v0/active/bnd/diag + scratch
+    return (slabs + vecs) * envs * 4
+
+
+def factored_fits(nr: int, nv: int) -> bool:
+    """Row/dof counts the factored layout can hold resident (~10 MB of
+    the ~16 MB VMEM, leaving headroom for Mosaic scratch)."""
+    return _factored_vmem_bytes(nr, nv) <= 10 * 1024 * 1024
+
+
+def _apgd_factored_kernel(j_hbm, minv_hbm, rsc_ref, dg_ref, rhs_ref,
+                          f0_ref, v0_ref, act_ref, bnd_ref,
+                          mnn_ref, mbox_ref, mn_ref, mu_ref,
+                          f_out, v_out,
+                          f_scr, y_scr, th_scr, dn_scr,
+                          j_ref, minv_ref, dma_sems, *, nr: int,
+                          nv: int, nv_pad: int, iterations: int,
+                          cold: bool, has_nonneg: bool, has_box: bool,
+                          has_cone: bool, tol2: float, chunk: int = 8):
+    """Factored-matvec variant for models whose (nr, nr) dual matrix
+    cannot live in VMEM (humanoid: nr=303) but whose FACTORS can:
+    Ad = J~ M^-1 J~' + diag(Rs) with J~ (nr, nv) the scaled+active-
+    masked constraint Jacobian and M^-1 (nv, nv) dense. Each matvec is
+    three stages of lane-parallel FMAs — t = J~'y (nv reductions),
+    u = M^-1 t (nv FMAs), z = J~u + Rs*y (nv FMAs) — costing
+    2*nr*nv + nv^2 instead of nr^2 and holding nr*nv + nv^2 floats
+    resident instead of nr^2 (humanoid: 8.2k vs 92k per env). The
+    XLA fallback materializes (B, nr, nr) and re-reads it from HBM
+    every iteration; this kernel reads the factors once.
+
+    Differences from ``_apgd_kernel``: no equality-row polish (a polish
+    needs an Ad row; no model in the factored regime has equality
+    rows), and the Rayleigh staleness fallback bound is the trace
+    bound sum(diag) — PSD guarantees lambda_max <= trace, and the
+    scaled diagonal (dg_ref) is already resident, whereas the
+    inf-norm row-sum bound would need the full matrix.
+
+    J~ and M^-1 arrive as full HBM refs (memory_space=ANY) and are
+    DMA'd ONCE into single-buffered VMEM scratch: as pipelined grid
+    inputs Mosaic double-buffers them, and 2x the humanoid J slab
+    alone blows the 16 MB scoped-VMEM budget (observed: 16.67 MB
+    requested, limit 16 MB).
+    """
+    f32 = jnp.float32
+    b = pl.program_id(0)
+    E = rhs_ref.shape[1]
+    dma_j = pltpu.make_async_copy(
+        j_hbm.at[:, :, pl.ds(b * E, E)], j_ref, dma_sems.at[0])
+    dma_m = pltpu.make_async_copy(
+        minv_hbm.at[:, :, pl.ds(b * E, E)], minv_ref, dma_sems.at[1])
+    dma_j.start()
+    dma_m.start()
+    dma_j.wait()
+    dma_m.wait()
+    rhs = rhs_ref[:]                      # (nr, E)
+    active = act_ref[:]
+    rsc = rsc_ref[:]
+
+    def matvec(y):
+        # stages 1+2 fused: u = M^-1 (J~' y) accumulated column-wise so
+        # no (nv, E) intermediate needs assembling from (1, E) pieces
+        u = minv_ref[0] * jnp.sum(j_ref[0] * y, axis=0, keepdims=True)
+        for w in range(1, nv):
+            u = u + minv_ref[w] * jnp.sum(j_ref[w] * y, axis=0,
+                                          keepdims=True)   # (nv_pad, E)
+        acc = j_ref[0] * u[0:1]
+        for v in range(1, nv):
+            acc = acc + j_ref[v] * u[v:v + 1]     # (nr, E)
+        return acc + rsc * y
+
+    # ---- step size from the preconditioned spectral radius ------------
+    # Normalization uses exact sqrt + divide (matching the XLA impl's
+    # norm+divide) rather than jax.lax.rsqrt so kernel and fallback
+    # follow the same power-iteration trajectory bit-for-bit.
+    def pstep(_, v):
+        w = matvec(v)
+        n2 = jnp.sum(w * w, axis=0, keepdims=True)          # (1, E)
+        return w / jnp.sqrt(jnp.maximum(n2, 1e-24))
+
+    flat = jnp.full((nr, 1), 1.0 / (nr ** 0.5), f32)
+    if cold:
+        v = jax.lax.fori_loop(0, 24, pstep, flat * jnp.ones_like(rhs))
+        r = jnp.sum(v * matvec(v), axis=0, keepdims=True)
+        L = 1.5 * jnp.maximum(r, 1.0)
+    else:
+        v0 = v0_ref[:]
+        n2 = jnp.sum(v0 * v0, axis=0, keepdims=True)
+        v = jnp.where(n2 > 1e-24,
+                      v0 / jnp.sqrt(jnp.maximum(n2, 1e-24)),
+                      flat)
+        v = jax.lax.fori_loop(0, 6, pstep, v)
+        r6 = jnp.sum(v * matvec(v), axis=0, keepdims=True)
+        v = jax.lax.fori_loop(0, 2, pstep, v)
+        r8 = jnp.sum(v * matvec(v), axis=0, keepdims=True)
+        # staleness guard: trace bound (lambda_max <= trace for PSD)
+        safe_L = jnp.maximum(
+            jnp.sum(dg_ref[:], axis=0, keepdims=True), 1.0)
+        stale = (r8 - r6) > 0.02 * jnp.maximum(r8, 1e-12)
+        L = jnp.where(stale, safe_L, 1.5 * jnp.maximum(r8, 1.0))
+
+    # ---- projection (identical to _apgd_kernel) -----------------------
+    mnn = mnn_ref[:] if has_nonneg else None          # (nr, 1)
+    mbox = mbox_ref[:] if has_box else None
+    if has_cone:
+        mn = mn_ref[:]                                # (nr, 1) normals
+        mt1 = _shift_down(mn, 1)
+        mt2 = _shift_down(mn, 2)
+        mu = mu_ref[:]                                # (nr, 1), at normals
+    bnd = bnd_ref[:] if has_box else None             # (nr, E)
+
+    def proj(f):
+        if has_nonneg:
+            f = jnp.where(mnn > 0, jnp.maximum(f, 0.0), f)
+        if has_box:
+            f = jnp.where(mbox > 0, jnp.clip(f, -bnd, bnd), f)
+        if has_cone:
+            ft1 = _shift_up(f, 1)
+            ft2 = _shift_up(f, 2)
+            t = jnp.sqrt(ft1 * ft1 + ft2 * ft2)
+            inside = t <= mu * f
+            apex = mu * t + f <= 0.0
+            fn_s = jnp.where(inside, f,
+                             jnp.where(apex, 0.0,
+                                       (f + mu * t) / (1.0 + mu * mu)))
+            tscale = jnp.where(inside, 1.0,
+                               jnp.where(apex, 0.0,
+                                         mu * fn_s / jnp.maximum(t, 1e-12)))
+            tscale = jnp.where(mn > 0, tscale, 1.0)
+            f = jnp.where(mn > 0, fn_s, f)
+            f = f * jnp.where(mt1 > 0, _shift_down(tscale, 1), 1.0)
+            f = f * jnp.where(mt2 > 0, _shift_down(tscale, 2), 1.0)
+        return f * active
+
+    f0 = proj(f0_ref[:])
+
+    tol2c = jnp.asarray(tol2, f32)
+    f_scr[:] = f0
+    y_scr[:] = f0
+    th_scr[:] = jnp.ones((1, rhs.shape[1]), f32)
+    dn_scr[:] = jnp.zeros((1, rhs.shape[1]), f32)
+
+    def one_iter(it):
+        f = f_scr[:]
+        y = y_scr[:]
+        theta = th_scr[:]
+        done = dn_scr[:]
+        g = matvec(y) - rhs
+        f_new = proj(y - g / L)
+        theta_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * theta * theta))
+        beta = (theta - 1.0) / theta_new
+        restart = (jnp.sum((y - f_new) * (f_new - f), axis=0,
+                           keepdims=True) > 0.0)
+        beta = jnp.where(restart, 0.0, beta)
+        y_new = f_new + beta * (f_new - f)
+        d2 = jnp.sum((f_new - f) ** 2, axis=0, keepdims=True)
+        conv = d2 <= tol2c * (1e-12 + jnp.sum(f_new * f_new, axis=0,
+                                              keepdims=True))
+        frozen = jnp.logical_or(done > 0, it >= iterations)
+        f_scr[:] = jnp.where(frozen, f, f_new)
+        y_scr[:] = jnp.where(frozen, y, y_new)
+        th_scr[:] = jnp.where(frozen, theta,
+                              jnp.where(restart, 1.0, theta_new))
+        dn_scr[:] = jnp.maximum(
+            done, jnp.where(frozen, 0.0, conv.astype(f32)))
+
+    n_chunks = -(-iterations // chunk)
+
+    def outer(ci, carry):
+        @pl.when(jnp.min(dn_scr[:]) < 0.5)
+        def _():
+            for k in range(chunk):        # static unroll
+                one_iter(ci * chunk + k)
+        return carry
+
+    jax.lax.fori_loop(0, n_chunks, outer, jnp.zeros((), jnp.int32))
+
+    f_out[:] = f_scr[:]
+    v_out[:] = v
+
+
+@functools.partial(
+    jax.jit, static_argnames=('nonneg', 'box_rows', 'con0', 'iterations',
+                              'cold', 'tol2', 'interpret'))
+def apgd_iterate_factored(J_s, Minv, Rs, diag_s, rhs, f0, v0, active,
+                          mu_full, bounds_full, *, nonneg, box_rows,
+                          con0, iterations: int, cold: bool,
+                          tol2: float = 1e-12, interpret: bool = False):
+    """Batched factored APGD iterate: one launch over the env batch.
+
+    Args (batched leading axis B): J_s (B, nr, nv) scaled+active-masked
+    constraint Jacobian, Minv (B, nv, nv) dense inverse mass matrix,
+    Rs (B, nr) scaled regularizer diagonal, diag_s (B, nr) scaled
+    active diagonal of the dual matrix (trace bound input), rhs / f0 /
+    v0 / active (B, nr). Unbatched: mu_full (nr,), bounds_full (nr,).
+    Returns (f (B, nr) scaled row forces, v (B, nr) power vector).
+    """
+    B, nr_raw, nv = J_s.shape
+    E = ENVS_PER_PROGRAM
+    f32 = jnp.float32
+    nb = -(-B // E)
+    B_pad = nb * E
+    nr = -(-nr_raw // 8) * 8
+    nv_pad = -(-nv // 8) * 8
+
+    def pad_vec(x):                                   # (B, nr) -> (nr, Bp)
+        x = jnp.pad(x.astype(f32),
+                    ((0, B_pad - B), (0, nr - nr_raw)))
+        return jnp.transpose(x)
+
+    Jt = jnp.transpose(
+        jnp.pad(J_s.astype(f32),
+                ((0, B_pad - B), (0, nr - nr_raw), (0, 0))),
+        (2, 1, 0))                                    # (nv, nr, Bp)
+    Minvt = jnp.transpose(
+        jnp.pad(Minv.astype(f32),
+                ((0, B_pad - B), (0, nv_pad - nv), (0, 0))),
+        (2, 1, 0))                                    # (nv, nv_pad, Bp)
+    vecs = [pad_vec(x) for x in (Rs, diag_s, rhs, f0, v0, active)]
+
+    m_nn = np.isin(np.arange(nr), np.asarray(nonneg)).astype(np.float32)
+    m_bx = np.isin(np.arange(nr), np.asarray(box_rows)).astype(np.float32)
+    m_n = np.isin(np.arange(nr), np.asarray(con0)).astype(np.float32)
+    masks = [jnp.asarray(m[:, None]) for m in (m_nn, m_bx, m_n)]
+    pad_tail = jnp.zeros((nr - nr_raw,), f32)
+    mu_col = (jnp.concatenate([mu_full.astype(f32), pad_tail])[:, None]
+              * masks[2])
+    bnd_full = jnp.transpose(jnp.broadcast_to(
+        jnp.concatenate([bounds_full.astype(f32), pad_tail]),
+        (B_pad, nr)))
+
+    kern = functools.partial(
+        _apgd_factored_kernel, nr=nr, nv=int(nv), nv_pad=int(nv_pad),
+        iterations=int(iterations), cold=bool(cold),
+        has_nonneg=bool(len(nonneg)), has_box=bool(len(box_rows)),
+        has_cone=bool(len(con0)), tol2=float(tol2))
+
+    vec_spec = pl.BlockSpec((nr, E), lambda b: (0, b),
+                            memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((nr, 1), lambda b: (0, 0),
+                            memory_space=pltpu.VMEM)
+    f, v = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),   # J~ in HBM
+                  pl.BlockSpec(memory_space=pltpu.ANY),   # Minv in HBM
+                  vec_spec, vec_spec, vec_spec, vec_spec, vec_spec,
+                  vec_spec, vec_spec,
+                  col_spec, col_spec, col_spec, col_spec],
+        out_specs=[vec_spec, vec_spec],
+        out_shape=[jax.ShapeDtypeStruct((nr, B_pad), f32),
+                   jax.ShapeDtypeStruct((nr, B_pad), f32)],
+        scratch_shapes=[pltpu.VMEM((nr, E), f32),
+                        pltpu.VMEM((nr, E), f32),
+                        pltpu.VMEM((1, E), f32),
+                        pltpu.VMEM((1, E), f32),
+                        pltpu.VMEM((int(nv), nr, E), f32),      # J~ slab
+                        pltpu.VMEM((int(nv), nv_pad, E), f32),  # Minv
+                        pltpu.SemaphoreType.DMA((2,))],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',)),
+        interpret=interpret,
+    )(Jt, Minvt, *vecs, bnd_full, *masks, mu_col)
+    f = jnp.transpose(f)[:B, :nr_raw]
+    v = jnp.transpose(v)[:B, :nr_raw]
+    return f, v
+
+
 @functools.partial(
     jax.jit, static_argnames=('nonneg', 'box_rows', 'con0', 'iterations',
                               'cold', 'tol2', 'interpret', 'eq_rows'))

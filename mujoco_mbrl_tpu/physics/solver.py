@@ -488,9 +488,34 @@ def solve_apgd(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
     iterations = iterations or 2 * m.opt.solver_iterations
     dtype = qacc_smooth.dtype
 
+    from ..ops import apgd_solve as _ker
+
+    nr = cs.J.shape[0]
+    nv_dim = cs.J.shape[1]
+    eq_rows = tuple(int(i0) for kind, i0 in cs.blocks
+                    if kind == 'equality')
+    # Factored regime: row counts past the resident-Ad kernel's VMEM
+    # wall (humanoid: nr=303). The dual matrix is never materialized —
+    # neither on the host (the (B, nr, nr) batch alone is ~190 MB at
+    # humanoid production sizes, re-read from HBM every iteration by
+    # the XLA fallback) nor in the kernel, which holds the factors
+    # J~ (nr, nv) and M^-1 (nv, nv) resident instead. Equality rows
+    # need full Ad rows for their Gauss-Seidel polish, so models with
+    # them keep the materialized path.
+    use_factored = (nr > _ker.MAX_NR
+                    and _ker.factored_fits(nr, nv_dim)
+                    and not eq_rows)
+
     MinvJT = jax.scipy.linalg.cho_solve(qM_chol, cs.J.T)   # (nv, nr)
-    A = cs.J @ MinvJT                                      # (nr, nr)
-    Ad = A + jnp.diag(cs.R)
+    if use_factored:
+        Ad = None
+        d_all0 = (jnp.einsum('rv,vr->r', cs.J, MinvJT,
+                             precision=jax.lax.Precision.HIGHEST)
+                  + cs.R)
+    else:
+        A = cs.J @ MinvJT                                  # (nr, nr)
+        Ad = A + jnp.diag(cs.R)
+        d_all0 = jnp.diag(Ad)
     rhs = (cs.aref - cs.J @ qacc_smooth) * cs.active
 
     nonneg, box_rows, con0 = _row_structure(cs)
@@ -506,7 +531,7 @@ def solve_apgd(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
     # vanishing diagonal (near-zero constraint Jacobians, e.g. contacts
     # between nearly co-moving geoms) are dropped outright — scaling BY
     # them would blow up the spectral radius and stall every other row.
-    d_all = jnp.diag(Ad)
+    d_all = d_all0
     if len(con0):
         block_scale = d_all[con0]
         d_all = d_all.at[con0 + 1].set(block_scale)
@@ -514,31 +539,32 @@ def solve_apgd(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
     degenerate = d_all < 1e-9 * jnp.max(d_all)
     s_inv = jnp.where(degenerate, 0.0,
                       1.0 / jnp.sqrt(jnp.where(degenerate, 1.0, d_all)))
-    Ad = Ad * s_inv[:, None] * s_inv[None, :]
+    act_m = cs.active.astype(dtype)
+    if not use_factored:
+        Ad = Ad * s_inv[:, None] * s_inv[None, :]
+        # Active-set masking: the projection pins inactive rows to zero
+        # force, but leaving their columns in Ad inflates the power-
+        # iteration step-size estimate to the spectral radius of the
+        # FULL row set (4.4k rows on humanoid_cmu, L~60) — the active
+        # subproblem then converges at (1 - 1/L) per iteration and
+        # visibly undershoots stiff limit rows within the iteration cap
+        # (observed: toe-limit force 12.4 vs the exact dual's 20.3, a
+        # 2e-3/step qpos parity break). Masking Ad down to the active
+        # submatrix leaves the fixed point unchanged and makes L the
+        # ACTIVE set's spectral radius.
+        Ad = Ad * (act_m[:, None] * act_m[None, :])
     rhs = rhs * s_inv
     if bounds is not None:
         safe = jnp.where(s_inv[box_rows] > 0, s_inv[box_rows], 1.0)
         bounds = bounds / safe
 
-    # Active-set masking: the projection pins inactive rows to zero
-    # force, but leaving their columns in Ad inflates the power-iteration
-    # step-size estimate to the spectral radius of the FULL row set (4.4k
-    # rows on humanoid_cmu, L~60) — the active subproblem then converges
-    # at (1 - 1/L) per iteration and visibly undershoots stiff limit rows
-    # within the iteration cap (observed: toe-limit force 12.4 vs the
-    # exact dual's 20.3, a 2e-3/step qpos parity break). Masking Ad down
-    # to the active submatrix leaves the fixed point unchanged and makes
-    # L the ACTIVE set's spectral radius.
-    act_m = cs.active.astype(dtype)
-    Ad = Ad * (act_m[:, None] * act_m[None, :])
-
     # The iterate (power-iteration step size + Nesterov APGD loop) runs
     # behind a custom_vmap boundary: per-env it is the XLA while loop
     # below (_apgd_iterate_impl); under vmap over an env batch on TPU it
     # dispatches to the fused Pallas kernel (ops/apgd_solve.py) that
-    # keeps each env block's Ad resident in VMEM across ALL iterations
-    # instead of re-reading (B, nr, nr) from HBM every matvec.
-    nr = cs.J.shape[0]
+    # keeps each env block's Ad (or, in the factored regime, J~ and
+    # M^-1) resident in VMEM across ALL iterations instead of re-reading
+    # batched matrices from HBM every matvec.
     mu_full = (jnp.zeros((nr,), dtype).at[con0].set(
         jnp.asarray(cs.mu, dtype)) if len(con0)
         else jnp.zeros((nr,), dtype))
@@ -556,22 +582,42 @@ def solve_apgd(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
     cold = power_v0 is None
     v0 = jnp.zeros((nr,), dtype) if cold else power_v0
 
-    eq_rows = tuple(int(i0) for kind, i0 in cs.blocks
-                    if kind == 'equality')
-    iterate = _apgd_dispatch(tuple(int(i) for i in nonneg),
-                             tuple(int(i) for i in box_rows),
-                             tuple(int(i) for i in con0),
-                             int(iterations), cold, eq_rows)
-    f, v = iterate(Ad, rhs, f0s, v0, cs.active.astype(dtype),
-                   mu_full, bounds_full)
+    if use_factored:
+        # scaled+masked Jacobian: Ad = J~ M^-1 J~' + diag(Rs) with the
+        # row scale and active mask folded into J~ (mask^2 == mask, so
+        # this equals the masked scaled dual matrix exactly)
+        sa = s_inv * act_m
+        J_s = cs.J * sa[:, None]
+        Minv = jax.scipy.linalg.cho_solve(
+            qM_chol, jnp.eye(cs.J.shape[1], dtype=dtype))
+        Rs = s_inv * s_inv * cs.R * act_m
+        diag_s = s_inv * s_inv * d_all0 * act_m
+        iterate = _apgd_dispatch_factored(
+            tuple(int(i) for i in nonneg),
+            tuple(int(i) for i in box_rows),
+            tuple(int(i) for i in con0), int(iterations), cold)
+        f, v = iterate(J_s, Minv, Rs, diag_s, rhs, f0s, v0, act_m,
+                       mu_full, bounds_full)
+    else:
+        iterate = _apgd_dispatch(tuple(int(i) for i in nonneg),
+                                 tuple(int(i) for i in box_rows),
+                                 tuple(int(i) for i in con0),
+                                 int(iterations), cold, eq_rows)
+        f, v = iterate(Ad, rhs, f0s, v0, act_m, mu_full, bounds_full)
     f = f * s_inv                      # back to unscaled forces
     return cs.J.T @ f, f, v
 
 
 @functools.lru_cache(maxsize=128)
 def _apgd_dispatch(nonneg, box_rows, con0, iterations: int, cold: bool,
-                   eq_rows=()):
+                   eq_rows=(), trace_safe_l: bool = False):
     """custom_vmap APGD iterate for one static row structure.
+
+    ``trace_safe_l`` switches the warm-start staleness fallback bound
+    from the inf-norm row sum to the trace bound (lambda_max <= trace
+    for PSD) — the factored dispatch uses it because its Pallas kernel
+    cannot form row sums of a matrix it never materializes, and the
+    fallback impl must match the kernel bit-for-bit.
 
     Unbatched: the XLA power-iteration + while-loop iterate (exact
     original semantics). Batched (the production path — `vmap(step)`
@@ -628,8 +674,11 @@ def _apgd_dispatch(nonneg, box_rows, con0, iterations: int, cold: bool,
             # substeps. (A lax.cond with extra iterations would not
             # help: this path is vmapped over envs, so cond lowers to
             # select and both branches would always run.)
-            safe_L = jnp.maximum(jnp.max(jnp.sum(jnp.abs(Ad), axis=1)),
-                                 1.0)
+            if trace_safe_l:
+                safe_L = jnp.maximum(jnp.trace(Ad), 1.0)
+            else:
+                safe_L = jnp.maximum(
+                    jnp.max(jnp.sum(jnp.abs(Ad), axis=1)), 1.0)
             stale = (r8 - r6) > 0.02 * jnp.maximum(r8, 1e-12)
             L = jnp.where(stale, safe_L, 1.5 * jnp.maximum(r8, 1.0))
 
@@ -771,6 +820,75 @@ def _apgd_dispatch(nonneg, box_rows, con0, iterations: int, cold: bool,
             f, v = jax.vmap(impl)(
                 bcast(Ad, ad_b), bcast(rhs, rhs_b), bcast(f0s, f0_b),
                 bcast(v0, v0_b), bcast(active, act_b),
+                bcast(mu_full, mu_b), bcast(bounds_full, bnd_b))
+        return (f, v), (True, True)
+
+    cv.impl_fn = impl     # reused by the factored dispatch's XLA path
+    return cv
+
+
+@functools.lru_cache(maxsize=128)
+def _apgd_dispatch_factored(nonneg, box_rows, con0, iterations: int,
+                            cold: bool):
+    """custom_vmap APGD iterate over FACTORED inputs (J~, M^-1, Rs).
+
+    For models whose (nr, nr) dual matrix exceeds the resident kernel's
+    VMEM wall (ops/apgd_solve.py MAX_NR). Unbatched: materialize the
+    single-env Ad (cheap) and run the exact XLA iterate. Batched on
+    TPU: the factored Pallas kernel — the (B, nr, nr) batch is never
+    built. Batched elsewhere (CPU tests): vmap of the materialized
+    impl, which matches the old fallback's semantics and cost.
+    """
+    from jax import custom_batching
+
+    base = _apgd_dispatch(nonneg, box_rows, con0, iterations, cold, (),
+                          trace_safe_l=True)
+    base_impl = base.impl_fn
+
+    def impl_f(J_s, Minv, Rs, diag_s, rhs, f0s, v0, active, mu_full,
+               bounds_full):
+        # pinned precision: on TPU the default bf16 matmul pass loses
+        # ~3 digits materializing Ad, visibly diverging from the f32
+        # Pallas kernel; production already runs under forward()'s
+        # highest-precision scope, this makes the impl standalone-safe
+        with jax.default_matmul_precision('highest'):
+            Ad = (J_s @ Minv) @ J_s.T + jnp.diag(Rs)
+        return base_impl(Ad, rhs, f0s, v0, active, mu_full, bounds_full)
+
+    cv = custom_batching.custom_vmap(impl_f)
+
+    @cv.def_vmap
+    def _rule(axis_size, in_batched, J_s, Minv, Rs, diag_s, rhs, f0s, v0,
+              active, mu_full, bounds_full):
+        from ..ops import apgd_solve as _ker
+
+        (j_b, mi_b, rs_b, dg_b, rhs_b, f0_b, v0_b, act_b, mu_b,
+         bnd_b) = in_batched
+
+        def bcast(x, b):
+            return (x if b
+                    else jnp.broadcast_to(x, (axis_size,) + x.shape))
+
+        import os
+        use_kernel = (os.environ.get('MBRL_APGD_KERNEL', '1') != '0'
+                      and jax.devices()[0].platform in ('tpu', 'axon')
+                      and j_b and J_s.ndim == 3
+                      and J_s.dtype == jnp.float32
+                      and not mu_b and not bnd_b
+                      and axis_size >= 64)
+        if use_kernel:
+            f, v = _ker.apgd_iterate_factored(
+                J_s, bcast(Minv, mi_b), bcast(Rs, rs_b),
+                bcast(diag_s, dg_b), bcast(rhs, rhs_b),
+                bcast(f0s, f0_b), bcast(v0, v0_b),
+                bcast(active, act_b), mu_full, bounds_full,
+                nonneg=nonneg, box_rows=box_rows, con0=con0,
+                iterations=iterations, cold=cold)
+        else:
+            f, v = jax.vmap(impl_f)(
+                bcast(J_s, j_b), bcast(Minv, mi_b), bcast(Rs, rs_b),
+                bcast(diag_s, dg_b), bcast(rhs, rhs_b),
+                bcast(f0s, f0_b), bcast(v0, v0_b), bcast(active, act_b),
                 bcast(mu_full, mu_b), bcast(bounds_full, bnd_b))
         return (f, v), (True, True)
 
