@@ -312,6 +312,133 @@ def agent_loop_bench(task: str, B: int, K: int, H: int, cem_iters: int,
     }))
 
 
+# TPU v5e (v5 lite) single-chip peaks for the roofline columns.
+# bf16 MXU peak is the published 197 TFLOP/s; the physics path pins
+# matmul precision to HIGHEST, which XLA implements as a 6-pass bf16
+# decomposition => effective f32 MXU peak ~ peak/6. HBM: 819 GB/s.
+V5E_BF16_PEAK = 197e12
+V5E_F32_PEAK = V5E_BF16_PEAK / 6.0
+V5E_HBM_BPS = 819e9
+
+
+def analytic_flops(task: str, B: int, K: int, H: int, cem_iters: int,
+                   model_kind: str = 'mlp', hidden: int = 50):
+    """Analytic FLOP counts per CONTROL STEP for the two phases.
+
+    VERDICT r4 #6: convert the CEM MLP rollouts and the physics
+    pipeline into achieved-FLOP/s so bench output can say how far from
+    the hardware ceiling each phase runs and where headroom remains.
+
+    Plan phase (per env): cem_iters CEM rounds, each rolling K
+    candidates H steps through the MLP dynamics model — the matmul
+    FLOPs are the workload; sampling/cost/refit are O(K*H*act_dim)
+    noise next to them. Ensemble TS-inf costs the same per candidate
+    (each candidate propagates through exactly one member).
+
+    Physics phase (per env): n_substeps of the engine. Counted terms
+    (formula documented next to each): smooth-dynamics kinematics/
+    CRBA/RNEA (structure-proportional estimate), the two dense
+    Cholesky factorizations (qM and M+hB), triangular solves, the
+    constraint-solve linear algebra in whichever regime the model
+    compiles to (materialized (nr,nr) dual vs factored J/Minv), and
+    the APGD iterate at its iteration CAP — early exit usually stops
+    sooner, so the physics numbers are an upper bound on useful FLOPs
+    (stated in the output).
+    """
+    import numpy as np
+    from mujoco_mbrl_tpu import suite
+    from mujoco_mbrl_tpu.ops import apgd_solve as _ker
+    from mujoco_mbrl_tpu.physics import collision, smooth
+    from mujoco_mbrl_tpu.physics import solver as solver_mod
+
+    domain, task_name = task.rsplit('_', 1)
+    env = suite.load(domain, task_name)
+    m = env.model
+    _, ts0 = jax.eval_shape(env.reset, jax.ShapeDtypeStruct((2,),
+                                                            jnp.uint32))
+    obs_dim = sum(int(np.prod(v.shape))
+                  for v in jax.tree_util.tree_leaves(ts0.observation))
+    act_dim = m.nu
+    nv = m.nv
+    nsub = env._n_sub_steps
+
+    # constraint row count: trace-only probe (no device compute)
+    info = {}
+
+    def _probe(qpos, qvel):
+        meta = smooth.tree_meta(m)
+        (xpos, xquat, xmat, geom_xpos, geom_xmat, site_xpos,
+         xanchor, xaxis) = smooth.kinematics(m, qpos, meta)
+        cdof = smooth.motion_subspace(m, xquat, xanchor, xaxis, meta)
+        contact = None
+        pairs = collision.candidate_pairs(
+            m, include_geom_geom=m.opt.enable_geom_geom_contacts)
+        if pairs:
+            contact = collision.detect(m, geom_xpos, geom_xmat, pairs)
+        cs = solver_mod.assemble(m, meta, qpos, qvel, cdof, contact,
+                                 site_xpos=site_xpos)
+        info['nr'] = 0 if cs is None else cs.J.shape[0]
+        return qpos
+
+    jax.eval_shape(_probe, jnp.zeros((m.nq,)), jnp.zeros((nv,)))
+    nr = info['nr']
+
+    # ---- plan phase ------------------------------------------------------
+    mlp = 2 * ((obs_dim + act_dim) * hidden + hidden * hidden
+               + hidden * obs_dim)                     # MACs*2 per forward
+    plan_flops = B * cem_iters * K * H * mlp
+
+    # ---- physics phase ---------------------------------------------------
+    iters = 2 * m.opt.solver_iterations                # solve_apgd cap
+    power = 8                                          # warm-start iters
+    smooth_est = (m.nbody * 500                        # FK/inertia/bias
+                  + nv * nv * 20)                      # CRBA composite
+    chol = 2 * (2.0 / 3.0) * nv ** 3                   # qM and M+hB
+    tri = 6 * 2 * nv * nv                              # back-substitutions
+    if nr:
+        minv_jt = 2 * nv * nv * nr                     # cho_solve(J')
+        factored = (nr > _ker.MAX_NR
+                    and _ker.factored_fits(nr, nv))
+        if factored:
+            matvec = 2 * (2 * nr * nv + nv * nv)       # J(Minv(J'y))+Rs*y
+            build = 2 * nv * nv * nv                   # Minv = solve(I)
+        else:
+            matvec = 2 * nr * nr                       # resident Ad @ y
+            build = 2 * nv * nr * nr                   # A = J @ MinvJT
+        solve_flops = (minv_jt + build
+                       + (iters + power) * matvec
+                       + 2 * nr * nv)                  # J' f back-map
+    else:
+        solve_flops = 0
+    physics_flops = B * nsub * (smooth_est + chol + tri + solve_flops)
+
+    return {
+        'plan_flops_per_ctrl_step': plan_flops,
+        'physics_flops_per_ctrl_step': physics_flops,
+        'nr': nr, 'nv': nv, 'n_substeps': nsub,
+        'obs_dim': obs_dim, 'act_dim': act_dim,
+    }
+
+
+def mfu_report(fl, t_plan_s, t_phys_s):
+    """Roofline columns from analytic FLOPs + measured phase times.
+
+    Plan runs at the MXU's fast (bf16-pass) precision -> % of the bf16
+    peak. Physics pins HIGHEST precision -> % of the 6-pass f32 peak.
+    Both carry the achieved TFLOP/s so the reader can re-baseline.
+    """
+    out = {}
+    if t_plan_s and t_plan_s > 0:
+        tf = fl['plan_flops_per_ctrl_step'] / t_plan_s
+        out['plan_tflops'] = round(tf / 1e12, 2)
+        out['plan_mfu_pct_bf16peak'] = round(100 * tf / V5E_BF16_PEAK, 2)
+    if t_phys_s and t_phys_s > 0:
+        tf = fl['physics_flops_per_ctrl_step'] / t_phys_s
+        out['physics_tflops_upper'] = round(tf / 1e12, 2)
+        out['physics_mfu_pct_f32peak'] = round(100 * tf / V5E_F32_PEAK, 2)
+    return out
+
+
 def phase_breakdown(task: str, B: int, K: int, H: int, cem_iters: int,
                     sampler: str, compute_dtype=None,
                     group: int = 1):
@@ -391,6 +518,7 @@ def phase_breakdown(task: str, B: int, K: int, H: int, cem_iters: int,
     t_phys = timed(phys, state0, acts)
 
     total = t_plan + t_phys
+    fl = analytic_flops(task, B, K, H, cem_iters)
     print(json.dumps({
         'metric': f'phase breakdown ({task}, {B} envs, CEM {K}x{H}'
                   f'x{cem_iters}, sampler={sampler})',
@@ -398,6 +526,10 @@ def phase_breakdown(task: str, B: int, K: int, H: int, cem_iters: int,
         'plan_ms_per_cem_iter': round(t_plan * 1e3 / cem_iters, 2),
         'physics_ms_per_control_step': round(t_phys * 1e3, 2),
         'implied_env_steps_per_s': round(B / total, 1),
+        **mfu_report(fl, t_plan, t_phys),
+        'mfu_note': 'physics FLOPs counted at the APGD iteration cap '
+                    '(early exit stops sooner): physics_* are upper '
+                    'bounds; plan_* are exact matmul counts',
     }))
 
 
@@ -715,6 +847,21 @@ def main():
     env_steps_per_s = args.envs * args.steps / best
     model_tag = (f', {args.n_ensemble}-member ensemble TS-inf'
                  if args.model == 'ensemble' else '')
+    # roofline summary: analytic FLOPs over the measured wall time. The
+    # plan matmuls dominate every milestone config, so the combined
+    # number is reported against the bf16 MXU peak (per-phase splits
+    # live in --phases output).
+    try:
+        fl = analytic_flops(args.task, args.envs, args.candidates,
+                            args.horizon, args.cem_iters, args.model)
+        step_flops = (fl['plan_flops_per_ctrl_step']
+                      + fl['physics_flops_per_ctrl_step'])
+        tflops = step_flops * args.steps / best / 1e12
+        mfu = {'achieved_tflops_upper': round(tflops, 2),
+               'mfu_pct_bf16peak': round(100 * tflops * 1e12
+                                         / V5E_BF16_PEAK, 2)}
+    except Exception:
+        mfu = {}
     print(json.dumps({
         'metric': (f'env-steps/s/chip with CEM '
                    f'{args.candidates}x{args.horizon} MPC planning '
@@ -722,6 +869,7 @@ def main():
         'value': round(env_steps_per_s, 1),
         'unit': 'env-steps/s',
         'vs_baseline': round(env_steps_per_s / 10000.0, 4),
+        **mfu,
     }))
     return 0
 

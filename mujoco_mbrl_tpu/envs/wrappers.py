@@ -165,8 +165,13 @@ class EnvWrapper:
                 env_state, pcarry, state_vec, obs_vec = carry
                 t, kt = inp
                 action, pcarry = pol(kt, t, state_vec, obs_vec, pcarry)
-                env_state, ts = env.step(env_state, action)
-                s_next, o_next = self._observe_full(env_state)
+                # step_with_data: reuse the step's own observation
+                # forward for the featured state instead of paying a
+                # second full forward (engine.forward) per control step
+                env_state, ts, data = env.step_with_data(env_state,
+                                                         action)
+                s_next = self.get_state(env_state, data)
+                o_next = flatten_observation(ts.observation)
                 out = (s_next, o_next, action, ts.reward)
                 return (env_state, pcarry, s_next, o_next), out
 
@@ -299,8 +304,12 @@ class EnvWrapper:
                 env_state, pcarry, s, o = carry
                 t, kt = inp
                 actions, pcarry = policy_batched(kt, t, s, o, pcarry)
-                env_state, ts = jax.vmap(env.step)(env_state, actions)
-                s2, o2 = jax.vmap(self._observe_full)(env_state)
+                # reuse each step's own observation forward for the
+                # featured state (no second engine.forward per step)
+                env_state, ts, data = jax.vmap(env.step_with_data)(
+                    env_state, actions)
+                s2 = jax.vmap(self.get_state)(env_state, data)
+                o2 = jax.vmap(flatten_observation)(ts.observation)
                 return ((env_state, pcarry, s2, o2),
                         (s2, o2, actions, ts.reward))
 

@@ -466,8 +466,8 @@ def apgd_iterate_factored(J_s, Minv, Rs, diag_s, rhs, f0, v0, active,
     f, v = pl.pallas_call(
         kern,
         grid=(nb,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),   # J~ in HBM
-                  pl.BlockSpec(memory_space=pltpu.ANY),   # Minv in HBM
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),      # J~ in HBM
+                  pl.BlockSpec(memory_space=pl.ANY),      # Minv in HBM
                   vec_spec, vec_spec, vec_spec, vec_spec, vec_spec,
                   vec_spec, vec_spec,
                   col_spec, col_spec, col_spec, col_spec],

@@ -102,6 +102,9 @@ def run_heavy():
             for k in self.sinks:
                 k.flush()
 
+        def isatty(self):
+            return False
+
     old = sys.stdout
     sys.stdout = Tee(old, buf)
     try:
