@@ -42,3 +42,68 @@ def test_launch_writes_interactive_html(tmp_path):
     for control_id in ('play', 'scrub', 'speed', 'stepf', 'stepb'):
         assert f"'{control_id}'" in doc               # interactive controls
     assert '__FRAMES__' not in doc                    # substitution done
+
+
+def test_live_session_policy_loop():
+    """LiveSession: the policy-in-the-loop core of the live viewer
+    (reference viewer/application.py runtime: step/pause/reset +
+    perturbation), driven directly (transport-free)."""
+    env = suite.load('cartpole', 'balance')
+    s = viewer.LiveSession(env, height=24, width=32)
+    snap = s.reset()
+    assert snap['t'] == 0 and 'frame' in snap
+    r1 = s.step()                       # default: the session's policy
+    r2 = s.step('zero')                 # runtime policy switch
+    assert r2['t'] == 2
+    assert np.isfinite(r2['reward']) and np.isfinite(r2['ret'])
+    qv_before = float(np.asarray(s.state.physics.qvel)[0])
+    s.perturb(dof=0, dv=3.0)            # body perturbation analogue
+    qv_after = float(np.asarray(s.state.physics.qvel)[0])
+    assert abs(qv_after - qv_before - 3.0) < 1e-5
+    snap = s.reset()
+    assert snap['t'] == 0 and snap['ret'] == 0.0
+
+
+def test_live_viewer_http_round_trip():
+    """serve() over a real socket: page + step/reset/perturb endpoints."""
+    import json
+    import threading
+    import urllib.request
+
+    env = suite.load('pendulum', 'swingup')
+    # pendulum has a camera; tiny frames keep the test fast
+    import http.client
+    import socket
+
+    sock = socket.socket()
+    sock.bind(('127.0.0.1', 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    t = threading.Thread(target=viewer.serve,
+                         args=(env,), kwargs=dict(port=port, height=24,
+                                                  width=32), daemon=True)
+    t.start()
+    deadline = 50
+    for _ in range(deadline):
+        try:
+            page = urllib.request.urlopen(
+                f'http://127.0.0.1:{port}/', timeout=5).read().decode()
+            break
+        except OSError:
+            import time
+            time.sleep(0.2)
+    assert 'live viewer' in page and "'kick'" in page
+
+    def post(path, body=None):
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{port}{path}',
+            data=json.dumps(body or {}).encode(),
+            headers={'Content-Type': 'application/json'})
+        return json.loads(urllib.request.urlopen(req, timeout=30).read())
+
+    snap = post('/reset')
+    assert snap['t'] == 0
+    snap = post('/step', {'policy': 'random'})
+    assert snap['t'] == 1 and 'frame' in snap
+    snap = post('/perturb', {'dof': 0, 'dv': 1.0})
+    assert snap['t'] == 1
