@@ -34,6 +34,7 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
+from . import debugging as _debugging
 from . import mjcf
 from . import schema as _schema
 from .schema import SchemaError  # noqa: F401  (public re-export)
@@ -79,6 +80,8 @@ class Element:
         self._parent: Optional['Element'] = None
         if _strict:
             _schema.validate(tag, self.attrs, _parent_tag, warn=_warn)
+        if _debugging.debug_mode():
+            _debugging.record(self, self.attrs)
 
     # -- construction ----------------------------------------------------
     def add(self, tag: str, **attrs: Any) -> 'Element':
@@ -95,6 +98,8 @@ class Element:
             parent = self._parent.tag if self._parent is not None else None
             _schema.validate(self.tag, new, parent, warn=self._warn_sink)
         self.attrs.update(new)
+        if _debugging.debug_mode():
+            _debugging.record(self, new)
         return self
 
     def get(self, attr: str, default: Any = None) -> Any:
@@ -186,6 +191,9 @@ class RootElement(Element):
         super().__init__('mujoco', _strict=strict, _warn=_warn, model=model)
         self._parent = None
         self._sections: Dict[str, Element] = {}
+        # external asset registry (name -> bytes/str), consumed by
+        # debugging.export_with_assets (reference export_with_assets.py)
+        self.assets: Dict[str, Any] = {}
         # worldbody always exists; other sections materialize on use
         self.worldbody = self._section('worldbody')
 
@@ -238,6 +246,11 @@ class RootElement(Element):
                  'contact': 4, 'tendon': 5, 'equality': 6, 'actuator': 7}
         self.children.sort(key=lambda c: order.get(c.tag, 8))
         return super().to_xml_string(indent)
+
+    def get_assets(self) -> Dict[str, Any]:
+        """Registered external assets (reference mjcf_model.get_assets,
+        used by export_with_assets.py:48)."""
+        return dict(self.assets)
 
     def compile(self):
         """Compile to this engine's Model pytree (mjcf.Physics.from_mjcf_
