@@ -21,6 +21,22 @@ from ..physics import make_state
 class Task:
     """Base task: zero-randomization episode init, pass-through actions."""
 
+    # reward-keyed render highlighting (reference suite/base.py:90-97);
+    # read by Environment.render, which blends geom colors toward the
+    # highlight tint by reward**4 instead of mutating material rgba
+    _visualize_reward = False
+
+    @property
+    def visualize_reward(self) -> bool:
+        return self._visualize_reward
+
+    @visualize_reward.setter
+    def visualize_reward(self, value) -> None:
+        if not isinstance(value, bool):
+            raise ValueError(
+                f'Expected a boolean, got {type(value)}.')
+        self._visualize_reward = value
+
     # Whether get_observation / get_reward / get_termination read any
     # acceleration-stage Data field (qacc, actuator/constraint forces,
     # contact_force via touch/force/torque/accelerometer sensors). Tasks

@@ -202,10 +202,19 @@ class Environment:
         from ..utils.raycast import Camera
         m = self._model_with(state.params)
         cam = Camera(m, height=height, width=width, camera_id=camera_id)
-        data = _eng.forward(m, state.physics,
-                            jnp.zeros((m.nu,), state.physics.qpos.dtype),
-                            self._contact_fn, acc_stage=False)
-        return cam.render(data, depth=depth, segmentation=segmentation)
+        zero_ctrl = jnp.zeros((m.nu,), state.physics.qpos.dtype)
+        need_reward = bool(getattr(self._task, 'visualize_reward', False)
+                           and not depth and not segmentation)
+        data = _eng.forward(m, state.physics, zero_ctrl, self._contact_fn,
+                            acc_stage=need_reward and self._obs_acc)
+        reward = None
+        if need_reward:
+            # reward-keyed geom tint (reference base.py:85-87 after_step)
+            with jax.default_matmul_precision('highest'):
+                reward = self._task.get_reward(m, state.physics, data,
+                                               zero_ctrl)
+        return cam.render(data, depth=depth, segmentation=segmentation,
+                          reward=reward)
 
     def _observe(self, m, phys, params):
         data = engine.forward(m, phys, jnp.zeros((m.nu,), phys.qpos.dtype),

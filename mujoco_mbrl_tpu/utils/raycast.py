@@ -253,7 +253,13 @@ class Camera:
         return origins, dirs, R_c
 
     def render(self, data, depth: bool = False,
-               segmentation: bool = False):
+               segmentation: bool = False, reward=None):
+        """Render; with ``reward`` in [0,1], tint body geoms toward the
+        highlight green by ``reward**4`` — the visualize_reward contract
+        (reference suite/base.py:105-112 blends self/effector/target
+        material rgba toward `*_highlight`; this renderer has a palette
+        instead of materials, so the blend applies per body geom and the
+        world/floor keeps its color)."""
         origins, dirs, R_c = self.rays(data)
         t, gid, n = cast(self._m, data, origins, dirs)
         H, W = self.height, self.width
@@ -266,6 +272,16 @@ class Camera:
         from .render import _PALETTE, _BACKGROUND
         palette = jnp.asarray(_PALETTE)
         colors = palette[jnp.maximum(gid, 0) % palette.shape[0]]
+        if reward is not None:
+            # geoms on moving bodies get the reward tint (blend_coef =
+            # reward**4 for color distinction near high reward)
+            body_geom = jnp.asarray(
+                np.asarray(self._m.geom_body) > 0, jnp.float32)
+            coef = jnp.clip(jnp.asarray(reward), 0.0, 1.0) ** 4
+            highlight = jnp.array([0.0, 0.5, 0.3])
+            blend = coef * body_geom[jnp.maximum(gid, 0)]
+            colors = (blend[..., None] * highlight
+                      + (1.0 - blend[..., None]) * colors)
         light = jnp.array([0.4, 0.2, 0.8])
         light = light / jnp.linalg.norm(light)
         lam = jnp.clip(n @ light, 0.0, 1.0) * 0.7 + 0.3

@@ -173,11 +173,14 @@ def launch(env: control.Environment, policy: Optional[Callable] = None,
         m = env._model_with(state0.params)
         idx = jnp.arange(0, steps, frame_stride)
 
+        viz = bool(getattr(env.task, 'visualize_reward', False))
+
         def render_at(i):
             phys = jax.tree_util.tree_map(lambda x: x[i], traj)
             data = engine.forward(m, phys, jnp.zeros((m.nu,)),
                                   env._contact_fn, acc_stage=False)
-            return cam.render(data)
+            r = jnp.asarray(rewards)[i] if viz else None
+            return cam.render(data, reward=r)
 
         rgb = jax.jit(jax.vmap(render_at))(idx)
         frames = np.asarray(
