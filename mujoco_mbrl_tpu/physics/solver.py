@@ -598,12 +598,37 @@ def solve_apgd(m: M.Model, cs: Optional[ConstraintSet], qM_chol,
             tuple(int(i) for i in con0), int(iterations), cold)
         f, v = iterate(J_s, Minv, Rs, diag_s, rhs, f0s, v0, act_m,
                        mu_full, bounds_full)
+        Adf = J_s @ (Minv @ (J_s.T @ f)) + Rs * f
     else:
         iterate = _apgd_dispatch(tuple(int(i) for i in nonneg),
                                  tuple(int(i) for i in box_rows),
                                  tuple(int(i) for i in con0),
                                  int(iterations), cold, eq_rows)
         f, v = iterate(Ad, rhs, f0s, v0, act_m, mu_full, bounds_full)
+        Adf = Ad @ f
+    # Divergence safeguard: the dual objective phi(f) = 1/2 f'Ad f -
+    # f'rhs satisfies phi(f*) <= phi(0) = 0 (zero force is feasible for
+    # every row type), so phi > 0 certifies the iterate DIVERGED rather
+    # than converged. That can happen when the warm-started power
+    # iteration plateaus on a secondary eigenvalue after the active
+    # contact set changes (near-degenerate facet spectra): the Rayleigh
+    # staleness check passes while 1.5*r8 still understates lambda_max,
+    # the 1/L step oversteps, and the iterate grows geometrically
+    # (observed on stacker/manipulator TPU rollouts: |qvel| 6.5 -> 2.8e6
+    # in one control step, rounding-sensitive — the identical state
+    # re-solved in a different fusion context converges). Zero force for
+    # one substep (smooth dynamics) is benign and the next substep
+    # re-solves cold. Costs one matvec per solve (~2% of the iterate).
+    phi = 0.5 * jnp.sum(f * Adf) - jnp.sum(f * rhs)
+    # NaN-safe predicate: a hard overflow inside the iterate makes phi
+    # NaN (inf - inf), and `phi > 0` would read False — test for the
+    # GOOD certificate (phi <= 0 and finite forces) instead
+    bad = jnp.logical_not(jnp.logical_and(
+        phi <= 0.0, jnp.all(jnp.isfinite(f))))
+    f = jnp.where(bad, jnp.zeros_like(f), f)
+    # a diverged carried eigenvector would poison the NEXT solve's warm
+    # power start; drop it back to the deterministic flat start too
+    v = jnp.where(bad, jnp.zeros_like(v), v)
     f = f * s_inv                      # back to unscaled forces
     return cs.J.T @ f, f, v
 
