@@ -185,6 +185,12 @@ class _TaskAdapter(suite_base.Task):
     def __init__(self, task: Task):
         self._task = task
         self._observables = task.observables()
+        # drop enabled=False observables at the source: they must not
+        # be computed at all (an off-by-default egocentric camera would
+        # otherwise render every step only to be discarded)
+        for name, spec in task.observable_specs().items():
+            if not spec.enabled:
+                self._observables.pop(name, None)
         # early-termination protocol is optional (rl/control.py:115-121);
         # only surface it when the composer task defines it
         if hasattr(task, 'get_termination'):
@@ -222,7 +228,13 @@ def make_env(task: Task, time_limit: float = float('inf'),
     env = control.Environment(model, _TaskAdapter(task),
                               time_limit=time_limit,
                               **environment_kwargs)
-    specs = task.observable_specs()
+    # wrap only when some ENABLED observable needs pipeline machinery;
+    # enabled=False entries are filtered inside _TaskAdapter and a spec
+    # that is merely a disable-switch must not change the env state type
+    specs = {name: s for name, s in task.observable_specs().items()
+             if s.enabled and (s.update_interval > 1 or s.buffer_size > 1
+                               or s.delay > 0 or s.aggregator is not None
+                               or s.corruptor is not None)}
     if specs:
         from .observation import BufferedEnvironment
         env = BufferedEnvironment(env, specs)
