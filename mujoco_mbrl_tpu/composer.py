@@ -73,6 +73,23 @@ def _collect_observable_specs(obj) -> Dict[str, Any]:
         spec = getattr(fn, '_observable_spec', None)
         if spec is not None:
             out[name] = spec
+    # per-INSTANCE enabled overrides (Entity.enable_observable): specs
+    # live on class methods, so flipping spec.enabled directly would
+    # leak across every instance of the class in the process
+    for name, enabled in getattr(obj, '_observable_overrides',
+                                 {}).items():
+        from .observation import ObservableSpec
+        base = out.get(name)
+        if base is None:
+            out[name] = ObservableSpec(enabled=enabled)
+        else:
+            clone = ObservableSpec(update_interval=base.update_interval,
+                                   buffer_size=base.buffer_size,
+                                   delay=base.delay,
+                                   aggregator=base.aggregator,
+                                   corruptor=base.corruptor,
+                                   enabled=enabled)
+            out[name] = clone
     return out
 
 
@@ -88,6 +105,17 @@ class Entity:
     def __init__(self, **kwargs):
         self._mjcf_root = self._build(**kwargs)
         self.prefix = ''
+        self._observable_overrides: Dict[str, bool] = {}
+
+    def enable_observable(self, name: str, enabled: bool = True) -> None:
+        """Per-instance enable/disable of a named observable (the
+        reference's `entity.observables.<name>.enabled = True` workflow,
+        composer/observation/observable.py). Call before make_env:
+        e.g. ``walker.enable_observable('egocentric_camera')``."""
+        if name not in _collect_observables(self):
+            raise KeyError(f'{type(self).__name__} has no observable '
+                           f'{name!r}')
+        self._observable_overrides[name] = bool(enabled)
 
     def _build(self, **kwargs) -> builder.RootElement:
         raise NotImplementedError

@@ -162,3 +162,14 @@ class BufferedEnvironment:
                                           ts.observation)
         new_state = dict(inner=inner_state, buffers=buffers, key=key)
         return new_state, ts.replace(observation=obs)
+
+    def step_with_data(self, state, action):
+        # collection-path variant (control.Environment.step_with_data):
+        # without this override __getattr__ would hand the buffered dict
+        # state to the inner env (AttributeError) and skip the pipeline
+        inner_state, ts, data = self._env.step_with_data(
+            state['inner'], action)
+        buffers, key, obs = self._process(state['buffers'], state['key'],
+                                          ts.observation)
+        new_state = dict(inner=inner_state, buffers=buffers, key=key)
+        return new_state, ts.replace(observation=obs), data

@@ -287,7 +287,10 @@ def validate(tag: str, attrs: Dict[str, str],
             if warn is None:
                 raise SchemaError(msg)
             warn.append(msg)
-            return
+            # fall through: the tag itself is KNOWN, so its attribute
+            # values still get type-checked — a misplaced element must
+            # not smuggle ill-typed values past the documented
+            # 'known attributes always raise' contract
     for name, raw in attrs.items():
         spec = attr_spec(tag, name, parent_tag)
         if spec is None:

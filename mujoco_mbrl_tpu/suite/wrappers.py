@@ -80,6 +80,13 @@ class PixelWrapper:
         env_state, ts = self._env.step(env_state, action)
         return env_state, self._add_pixels(env_state, ts)
 
+    def step_with_data(self, env_state, action):
+        # keep the wrapper on the data-reusing collection path
+        # (control.Environment.step_with_data): __getattr__ forwarding
+        # would silently skip the pixel injection
+        env_state, ts, data = self._env.step_with_data(env_state, action)
+        return env_state, self._add_pixels(env_state, ts), data
+
 
 class ActionNoiseWrapper:
     """Adds iid Gaussian noise to actions, scaled to the ctrlrange
@@ -110,6 +117,17 @@ class ActionNoiseWrapper:
             key, jnp.shape(action))
         noisy = jnp.clip(noisy, self._minimum, self._maximum)
         return self._env.step(env_state, noisy)
+
+    def step_with_data(self, env_state, action,
+                       key: Optional[jax.Array] = None):
+        # mirror step(): __getattr__ forwarding would bypass the noise
+        if key is None:
+            key = jax.random.fold_in(jax.random.PRNGKey(0),
+                                     env_state.step_count)
+        noisy = action + self._std * jax.random.normal(
+            key, jnp.shape(action))
+        noisy = jnp.clip(noisy, self._minimum, self._maximum)
+        return self._env.step_with_data(env_state, noisy)
 
 
 # dm_control-compatible aliases

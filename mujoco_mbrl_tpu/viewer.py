@@ -304,12 +304,15 @@ class LiveSession:
                          camera_id=camera_id)
             from .physics import engine as _eng
 
-            def render(phys, params):
+            viz = bool(getattr(getattr(env, 'task', None),
+                               'visualize_reward', False))
+
+            def render(phys, params, reward):
                 m = env._model_with(params)
                 data = _eng.forward(m, phys, jnp.zeros((m.nu,)),
                                     env._contact_fn, acc_stage=False)
-                return jnp.clip(cam.render(data) * 255.0,
-                                0, 255).astype(jnp.uint8)
+                rgb = cam.render(data, reward=reward if viz else None)
+                return jnp.clip(rgb * 255.0, 0, 255).astype(jnp.uint8)
 
             self._render = jax.jit(render)
         self._step = jax.jit(env.step)
@@ -355,8 +358,9 @@ class LiveSession:
             import io as _io
 
             from PIL import Image
-            frame = np.asarray(self._render(self.state.physics,
-                                            self.state.params))
+            frame = np.asarray(self._render(
+                self.state.physics, self.state.params,
+                jnp.asarray(self.last_reward, jnp.float32)))
             buf = _io.BytesIO()
             Image.fromarray(frame).save(buf, format='PNG')
             out['frame'] = base64.b64encode(buf.getvalue()).decode()

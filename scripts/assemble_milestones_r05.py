@@ -25,18 +25,27 @@ ORDER = [
      'python bench.py --agent-loop --task walker_walk'),
 ]
 
-results = []
+# Attribute each JSON result to the bench case whose '[post] bench ...'
+# marker preceded it — a crashed case then yields a MISSING row rather
+# than shifting every later measurement onto the wrong config (zip()
+# would silently misattribute on any gap).
+by_case = {}
 selfchecks = []
+current = None
 with open(LOG) as f:
     for line in f:
         line = line.strip()
+        m = re.match(r'\[post\] bench (.*)', line)
+        if m and not m.group(1).startswith('done'):
+            current = m.group(1)
+            continue
         m = re.match(r'# selfcheck: (.*)', line)
         if m:
             selfchecks.append(m.group(1))
             continue
-        if line.startswith('{') and '"metric"' in line:
+        if line.startswith('{') and '"metric"' in line and current:
             try:
-                results.append(json.loads(line))
+                by_case.setdefault(current, []).append(json.loads(line))
             except json.JSONDecodeError:
                 pass
 
@@ -49,8 +58,14 @@ out = {
              '(BASELINE.md:22).'),
     'results': [],
 }
-for (config, cmd), rec in zip(ORDER, results):
-    rec = dict(rec)
+for config, cmd in ORDER:
+    args = cmd.replace('python bench.py ', '')
+    recs = by_case.get(args, [])
+    if not recs:
+        out['results'].append({'config': config, 'cmd': cmd,
+                               'missing': True})
+        continue
+    rec = dict(recs[-1])
     rec['config'] = config
     rec['cmd'] = cmd
     out['results'].append(rec)
