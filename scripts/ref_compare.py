@@ -103,6 +103,13 @@ def run_reference(task, seed):
         lambda self, num_steps, get_action=None, mp4path=None, **kw:
         self.get_rollout(num_steps, get_action, **kw))
 
+    # Walker/Humanoid get_state read `self.env.physics` but EnvWrapper
+    # only sets `self._env` (env_wrappers.py:12 vs :531-534) — a latent
+    # upstream bug Cheetah avoids by using `self._env` (:290). Alias it
+    # so those wrappers run as their author intended.
+    if not hasattr(EnvWrapper, 'env'):
+        EnvWrapper.env = property(lambda self: self._env)
+
     domain, task_name = task.rsplit('_', 1)
     env = EnvWrapper.load(domain, task_name)
     w = env.get_goal_weights()
